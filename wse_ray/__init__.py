@@ -1,0 +1,1 @@
+"""Ray-Data-native web search engine (see SURVEY.md)."""

@@ -1,0 +1,259 @@
+"""Posting-list codec: VarByte + per-chunk delta + 64 KiB block packing.
+
+Semantically reproduces the reference's blocked index format
+(hw3/Lexicon.cpp:4-21 varbyte, :65-219 WriteBlocks; decode
+hw3/DataLoader.cpp:591-634) with three documented upgrades:
+
+* value 0 encodes as one byte ``0x00`` instead of zero bytes (the reference's
+  ``while (value > 0)`` loop emits nothing for 0, which would make a
+  chunk-leading docID of 0 round-trip as *absent* — SURVEY.md §7.4.4);
+* docIDs / last_docIDs are uint64 (the reference's uint32 offsets cap the
+  index at 4 GiB — SURVEY.md §1.2);
+* each chunk additionally stores a varbyte stream of per-posting document
+  lengths (``dl``) and a float32 BM25 upper bound (``ub``) used for
+  block-max/WAND pruning, so query scoring never needs a global
+  docID->dataLen table broadcast (it would be ~8 TB at 10^12 docs).
+
+Layout per term segment (self-describing, walked front to back):
+
+    block := [n_chunks:u32]
+             [last_docid:u64  * n_chunks]
+             [docid_sz :u32  * n_chunks]
+             [tf_sz    :u32  * n_chunks]
+             [dl_sz    :u32  * n_chunks]
+             [ub       :f32  * n_chunks]
+             ([docids varbyte][tfs varbyte][dls varbyte]) * n_chunks
+
+Chunks hold up to ``POSTINGS_IN_CHUNK`` (=64) postings; docIDs are
+delta-encoded with the delta reset at every chunk boundary
+(hw3/Lexicon.cpp:103-112).  Blocks pack whole chunks up to ``BLOCK_SIZE``
+bytes using the reference's accounting (header + metadata + payload,
+hw3/Lexicon.cpp:149-167).
+
+All codecs are vectorized numpy — no per-posting Python loops.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .config import BLOCK_SIZE, POSTINGS_IN_CHUNK
+
+_U64_THRESHOLDS = [1 << (7 * k) for k in range(1, 10)]
+
+
+def varbyte_encode(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Encode a uint64 array; returns (payload, per-value byte lengths).
+
+    7-bit groups, least-significant first; high bit set on every byte except
+    the last of a value (hw3/Lexicon.cpp:4-21).  0 -> b"\\x00" (see module
+    docstring).
+    """
+    v = np.asarray(values, dtype=np.uint64)
+    n = len(v)
+    if n == 0:
+        return b"", np.zeros(0, dtype=np.int64)
+    nbytes = np.ones(n, dtype=np.int64)
+    for t in _U64_THRESHOLDS:
+        nbytes += (v >= t).astype(np.int64)
+    total = int(nbytes.sum())
+    out = np.zeros(total, dtype=np.uint8)
+    starts = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
+    maxb = int(nbytes.max())
+    for k in range(maxb):
+        mask = nbytes > k
+        idx = starts[mask] + k
+        chunk = (v[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)
+        cont = (nbytes[mask] - 1 > k).astype(np.uint8) << 7
+        out[idx] = chunk.astype(np.uint8) | cont
+    return out.tobytes(), nbytes
+
+
+def varbyte_decode(buf: bytes | np.ndarray) -> np.ndarray:
+    """Decode a varbyte stream into a uint64 array (hw3/DataLoader.cpp:591-634)."""
+    b = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
+    if len(b) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    is_last = (b & 0x80) == 0
+    ends = np.flatnonzero(is_last)
+    n = len(ends)
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    lens = ends - starts + 1
+    out = np.zeros(n, dtype=np.uint64)
+    maxb = int(lens.max())
+    for k in range(maxb):
+        mask = lens > k
+        byte = b[starts[mask] + k].astype(np.uint64) & np.uint64(0x7F)
+        out[mask] |= byte << np.uint64(7 * k)
+    return out
+
+
+def _chunk_payloads(docids: np.ndarray, tfs: np.ndarray, dls: np.ndarray):
+    """Split postings into chunks of POSTINGS_IN_CHUNK; delta docIDs per chunk.
+
+    Returns per-chunk lists: (last_docid, docid_bytes, tf_bytes, dl_bytes).
+    """
+    n = len(docids)
+    n_chunks = (n + POSTINGS_IN_CHUNK - 1) // POSTINGS_IN_CHUNK
+    # delta with reset at chunk boundaries (hw3/Lexicon.cpp:103-112)
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[0] = docids[0]
+    deltas[1:] = docids[1:] - docids[:-1]
+    chunk_starts = np.arange(1, n_chunks) * POSTINGS_IN_CHUNK
+    deltas[chunk_starts] = docids[chunk_starts]  # absolute at chunk head
+    chunks = []
+    for c in range(n_chunks):
+        lo = c * POSTINGS_IN_CHUNK
+        hi = min(lo + POSTINGS_IN_CHUNK, n)
+        d_pay, _ = varbyte_encode(deltas[lo:hi])
+        t_pay, _ = varbyte_encode(tfs[lo:hi])
+        l_pay, _ = varbyte_encode(dls[lo:hi])
+        chunks.append((int(docids[hi - 1]), d_pay, t_pay, l_pay))
+    return chunks
+
+
+def _meta_bytes(n_chunks: int) -> int:
+    # u32 header + (u64 last_docid + 3*u32 sizes + f32 ub) per chunk
+    return 4 + n_chunks * (8 + 4 + 4 + 4 + 4)
+
+
+def encode_posting_list(
+    docids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    chunk_ubs: np.ndarray | None = None,
+) -> bytes:
+    """Encode one term segment (docIDs strictly ascending) into blocked bytes.
+
+    ``chunk_ubs``: optional per-chunk BM25 upper bounds (float32); pass None
+    to store 0.0 (pruning disabled for that term).
+    """
+    docids = np.asarray(docids, dtype=np.uint64)
+    tfs = np.asarray(tfs, dtype=np.uint64)
+    dls = np.asarray(dls, dtype=np.uint64)
+    assert len(docids) > 0
+    chunks = _chunk_payloads(docids, tfs, dls)
+    n_chunks = len(chunks)
+    if chunk_ubs is None:
+        chunk_ubs = np.zeros(n_chunks, dtype=np.float32)
+    else:
+        chunk_ubs = np.asarray(chunk_ubs, dtype=np.float32)
+
+    out = bytearray()
+    c = 0
+    while c < n_chunks:
+        # pack whole chunks into one block, reference accounting
+        # (hw3/Lexicon.cpp:149-167): stop before exceeding BLOCK_SIZE.
+        lo = c
+        nowbyte = 4
+        while c < n_chunks:
+            last, dp, tp, lp = chunks[c]
+            newsize = (8 + 4 + 4 + 4 + 4) + len(dp) + len(tp) + len(lp)
+            if nowbyte + newsize > BLOCK_SIZE and c > lo:
+                break
+            nowbyte += newsize
+            c += 1
+        blk = chunks[lo:c]
+        m = len(blk)
+        out += np.uint32(m).tobytes()
+        out += np.array([b[0] for b in blk], dtype=np.uint64).tobytes()
+        out += np.array([len(b[1]) for b in blk], dtype=np.uint32).tobytes()
+        out += np.array([len(b[2]) for b in blk], dtype=np.uint32).tobytes()
+        out += np.array([len(b[3]) for b in blk], dtype=np.uint32).tobytes()
+        out += chunk_ubs[lo:c].tobytes()
+        for _, dp, tp, lp in blk:
+            out += dp
+            out += tp
+            out += lp
+    return bytes(out)
+
+
+def _walk_blocks(buf: memoryview):
+    """Yield (last_docids, d_sizes, t_sizes, l_sizes, ubs, payload_off) per block."""
+    pos = 0
+    end = len(buf)
+    while pos < end:
+        m = int(np.frombuffer(buf[pos : pos + 4], dtype=np.uint32)[0])
+        pos += 4
+        last = np.frombuffer(buf[pos : pos + 8 * m], dtype=np.uint64)
+        pos += 8 * m
+        dsz = np.frombuffer(buf[pos : pos + 4 * m], dtype=np.uint32)
+        pos += 4 * m
+        tsz = np.frombuffer(buf[pos : pos + 4 * m], dtype=np.uint32)
+        pos += 4 * m
+        lsz = np.frombuffer(buf[pos : pos + 4 * m], dtype=np.uint32)
+        pos += 4 * m
+        ubs = np.frombuffer(buf[pos : pos + 4 * m], dtype=np.float32)
+        pos += 4 * m
+        yield last, dsz, tsz, lsz, ubs, pos
+        pos += int(dsz.sum()) + int(tsz.sum()) + int(lsz.sum())
+
+
+def decode_posting_list(
+    buf: bytes | memoryview,
+    min_docid: int | None = None,
+    max_docid: int | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode a term segment into (docids, tfs, dls).
+
+    With ``min_docid``/``max_docid`` set, chunks that cannot intersect the
+    range are *skipped without decoding* using the per-chunk ``last_docid``
+    skip metadata — the Ray-native equivalent of the reference's chunk
+    skipping (hw3/DataLoader.cpp:793,810-816).  Skipping is conservative:
+    decoded output may still contain docIDs outside the range.
+    """
+    mv = memoryview(buf)
+    d_parts, t_parts, l_parts = [], [], []
+    prev_block_last = -1
+    for last, dsz, tsz, lsz, _ubs, pay in _walk_blocks(mv):
+        m = len(last)
+        if min_docid is not None or max_docid is not None:
+            lo_sel = 0
+            hi_sel = m
+            if min_docid is not None:
+                lo_sel = int(np.searchsorted(last, np.uint64(min_docid), side="left"))
+            if max_docid is not None:
+                # chunk c starts after last[c-1]; a chunk whose predecessor's
+                # last_docid >= max_docid can't contain ids <= max_docid
+                firsts = np.empty(m, dtype=np.int64)
+                firsts[0] = prev_block_last
+                firsts[1:] = last[:-1].astype(np.int64)
+                hi_sel = int(np.searchsorted(firsts, max_docid, side="right"))
+            sel = range(lo_sel, max(lo_sel, hi_sel))
+        else:
+            sel = range(m)
+        d_off = np.concatenate(([0], np.cumsum(dsz + tsz + lsz)))
+        for c in sel:
+            base = pay + int(d_off[c])
+            dp = mv[base : base + int(dsz[c])]
+            tp = mv[base + int(dsz[c]) : base + int(dsz[c]) + int(tsz[c])]
+            lp = mv[
+                base + int(dsz[c]) + int(tsz[c]) : base + int(dsz[c]) + int(tsz[c]) + int(lsz[c])
+            ]
+            ids = np.cumsum(varbyte_decode(dp))  # first delta is absolute
+            d_parts.append(ids.astype(np.uint64))
+            t_parts.append(varbyte_decode(tp))
+            l_parts.append(varbyte_decode(lp))
+        prev_block_last = int(last[-1])
+    if not d_parts:
+        z = np.zeros(0, dtype=np.uint64)
+        return z, z.copy(), z.copy()
+    return (
+        np.concatenate(d_parts),
+        np.concatenate(t_parts),
+        np.concatenate(l_parts),
+    )
+
+
+def read_chunk_meta(buf: bytes | memoryview):
+    """Return (last_docids, ubs) across all blocks — for WAND pruning."""
+    mv = memoryview(buf)
+    lasts, ubs = [], []
+    for last, _d, _t, _l, ub, _p in _walk_blocks(mv):
+        lasts.append(last)
+        ubs.append(ub)
+    return np.concatenate(lasts), np.concatenate(ubs)
+
+
+def count_blocks(buf: bytes | memoryview) -> int:
+    """Number of ≤64 KiB blocks in a segment (lexicon blockNum analogue)."""
+    return sum(1 for _ in _walk_blocks(memoryview(buf)))
