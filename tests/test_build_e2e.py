@@ -1,0 +1,106 @@
+"""End-to-end: Ray build + query vs the pure-python oracle (SURVEY.md §5.2)."""
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from wse_ray.config import BuildConfig
+from wse_ray.fixtures import HEAVY_TERM, make_corpus, make_queries
+from wse_ray.index.build import build_index
+from wse_ray.oracle import OracleIndex
+from wse_ray.query.scorer import SearchEngine
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tiny_corpus_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("index_tiny"))
+    cfg = BuildConfig(num_partitions=4, heavy_df_threshold=50, heavy_subparts=2)
+    manifest = build_index(tiny_corpus_dir, out, cfg)
+    return out, manifest
+
+
+@pytest.fixture(scope="module")
+def oracle(tiny_corpus):
+    return OracleIndex.build(tiny_corpus["text"].to_pylist())
+
+
+@pytest.fixture(scope="module")
+def engine(built):
+    return SearchEngine(built[0])
+
+
+def test_stats_match(built, oracle):
+    import json
+
+    with open(os.path.join(built[0], "stats.json")) as f:
+        stats = json.load(f)
+    assert stats["N"] == oracle.N
+    assert stats["avgdl"] == oracle.avgdl
+
+
+def test_doctable_matches(built, oracle):
+    dt = pq.read_table(os.path.join(built[0], "doctable")).sort_by("docID")
+    assert dt.num_rows == oracle.N
+    urls = dt["url"].to_pylist()
+    datalens = dt["dataLen"].to_pylist()
+    wordnums = dt["wordnums"].to_pylist()
+    for i, d in enumerate(oracle.doctable):
+        assert urls[i] == d["url"], i
+        assert datalens[i] == d["dataLen"], i
+        assert wordnums[i] == d["wordnums"], i
+
+
+def test_heavy_term_was_split(built, engine, oracle):
+    # the fixture puts HEAVY_TERM in (almost) every doc; threshold 50 << df
+    segs = engine._segments[HEAVY_TERM.encode()]
+    assert len(segs) == 2  # heavy_subparts
+    assert segs[0]["last_docid"] < segs[1]["first_docid"]
+    assert engine.df(HEAVY_TERM.encode()) == oracle.df(HEAVY_TERM.encode()) > 50
+
+
+def test_postings_match_oracle(engine, oracle):
+    assert set(engine._segments) == set(oracle.postings)
+    for term, plist in oracle.postings.items():
+        d, t, dl = engine.postings(term)
+        want_ids = np.array([p[0] for p in plist], dtype=np.uint64)
+        want_tfs = np.array([p[1] for p in plist], dtype=np.uint64)
+        np.testing.assert_array_equal(d, want_ids, err_msg=repr(term))
+        np.testing.assert_array_equal(t, want_tfs, err_msg=repr(term))
+        want_dls = np.array(
+            [oracle.doctable[p[0]]["dataLen"] for p in plist], dtype=np.uint64
+        )
+        np.testing.assert_array_equal(dl, want_dls, err_msg=repr(term))
+        assert engine.df(term) == len(plist)
+
+
+def test_rank_identical_on_query_set(engine, oracle):
+    for q in make_queries():
+        got = engine.search(q["query"], q["mode"], q["k"])
+        want = oracle.search(q["query"], q["mode"], q["k"])
+        assert [g[0] for g in got] == [w[0] for w in want], q
+        np.testing.assert_allclose(
+            [g[1] for g in got], [w[1] for w in want], rtol=0, atol=1e-12, err_msg=str(q)
+        )
+
+
+def test_extraction_invariant_byte_identical(tiny_corpus):
+    # BASELINE.json per-row invariant: html -> text extraction reproduces the
+    # text column byte-identically per url
+    from wse_ray.stages.extract import extract_content
+
+    for i in range(tiny_corpus.num_rows):
+        html = tiny_corpus["html"][i].as_py()
+        text = tiny_corpus["text"][i].as_py().encode("utf-8")
+        assert extract_content(html, b"<body>", b"</body>") == text
+
+
+def test_resume_skips_completed_phases(built, tiny_corpus_dir):
+    out, _ = built
+    import time
+
+    t0 = time.perf_counter()
+    manifest = build_index(tiny_corpus_dir, out, BuildConfig(num_partitions=4))
+    assert manifest["stats"]["N"] == 100
+    assert manifest["timings_sec"] == {}  # all phases skipped
+    assert time.perf_counter() - t0 < 5.0

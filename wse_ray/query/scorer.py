@@ -1,0 +1,287 @@
+"""BM25 query engine over the partitioned index.
+
+``SearchEngine`` reimplements the reference's query path
+(hw3/DataLoader.cpp:372-428 TAAT, :547-634 block decode, :636-759 top-k,
+:773-864 conjunctive chunk skipping) over the Ray-built index:
+
+* lexicon + doctable load ONCE per process/actor (``__init__``), replacing
+  the reference's 158 s per-process startup (hw3/HW 3.docx §Result);
+* disjunctive semantics: the reference scores a dense array over ALL N docs
+  (hw3/DataLoader.cpp:378), so its top-k pads with zero-score docs and ranks
+  negative-score matches BELOW non-matches.  We reproduce those results
+  EXACTLY but sparsely: top-k over matching docs merged with the k smallest
+  non-matching docIDs at score 0 — no O(N) array, which is what makes the
+  same code work at 10^12 docs;
+* conjunctive: soft conjunction (candidates = min-df term's postings;
+  hw3/DataLoader.cpp:393-428) with chunk skipping via the per-chunk
+  last_docid metadata;
+* tie-break: (score desc, docID asc) — defined rule, see oracle.py;
+* per-posting document lengths come from the index itself (dl stream), so
+  scoring never touches the doctable; the doctable is only joined for the
+  top-k urls (J2 in SURVEY.md §2.5 becomes a k-row lookup).
+
+``QueryScorer`` wraps it as an actor-pool ``map_batches`` class for batch
+query Datasets.
+"""
+from __future__ import annotations
+
+import glob
+import json
+import math
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..codec import decode_posting_list
+from ..config import BM25_B, BM25_K1, RESULT_NUM
+from ..tokenizer import tokenize_query
+
+
+class SearchEngine:
+    def __init__(self, index_dir: str):
+        with open(os.path.join(index_dir, "stats.json")) as f:
+            self.stats = json.load(f)
+        self.N = self.stats["N"]
+        self.avgdl = self.stats["avgdl"]
+        self.index_dir = index_dir
+
+        lex_files = sorted(
+            glob.glob(os.path.join(index_dir, "parts", "part=*", "lexicon.parquet"))
+        )
+        if not lex_files:
+            raise FileNotFoundError(f"no lexicon partitions under {index_dir}")
+        frames = []
+        for p in lex_files:
+            t = pq.read_table(p)
+            part = int(os.path.basename(os.path.dirname(p)).split("=")[1])
+            frames.append(
+                t.append_column("part", pa.array([part] * t.num_rows, pa.int64()))
+            )
+        lex = pa.concat_tables(frames)
+        # term -> list of segments ordered by first_docid (heavy terms span
+        # several docID-range segments; ranges are disjoint by construction)
+        self._segments: dict[bytes, list[dict]] = {}
+        self._df: dict[bytes, int] = {}
+        cols = {c: lex[c].to_pylist() for c in lex.column_names}
+        for i in range(lex.num_rows):
+            term = cols["term"][i]
+            seg = {k: cols[k][i] for k in (
+                "part", "offset", "length", "first_docid", "last_docid", "df_seg"
+            )}
+            self._segments.setdefault(term, []).append(seg)
+            self._df[term] = cols["df_global"][i]
+        for segs in self._segments.values():
+            segs.sort(key=lambda s: s["first_docid"])
+
+        dt = pq.read_table(
+            os.path.join(index_dir, "doctable"),
+            columns=["docID", "url"],
+        ).sort_by("docID")
+        self._doc_ids = dt["docID"].to_numpy()
+        self._urls = dt["url"]
+
+        self._fh: dict[int, object] = {}
+
+    # --- plumbing ------------------------------------------------------------
+
+    def _read_segment(self, seg: dict) -> bytes:
+        fh = self._fh.get(seg["part"])
+        if fh is None:
+            fh = open(
+                os.path.join(
+                    self.index_dir, "parts", f"part={seg['part']:05d}", "postings.bin"
+                ),
+                "rb",
+            )
+            self._fh[seg["part"]] = fh
+        fh.seek(seg["offset"])
+        return fh.read(seg["length"])
+
+    def df(self, term: bytes) -> int:
+        return self._df.get(term, 0)
+
+    def postings(
+        self, term: bytes, min_docid: int | None = None, max_docid: int | None = None
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Decoded (docids, tfs, dls) for a term, segments concatenated in
+        docID order; optional range restriction uses chunk skipping."""
+        segs = self._segments.get(term)
+        if not segs:
+            z = np.zeros(0, dtype=np.uint64)
+            return z, z.copy(), z.copy()
+        parts_d, parts_t, parts_l = [], [], []
+        for seg in segs:
+            if min_docid is not None and seg["last_docid"] < min_docid:
+                continue
+            if max_docid is not None and seg["first_docid"] > max_docid:
+                continue
+            d, t, l = decode_posting_list(
+                self._read_segment(seg), min_docid=min_docid, max_docid=max_docid
+            )
+            parts_d.append(d)
+            parts_t.append(t)
+            parts_l.append(l)
+        if not parts_d:
+            z = np.zeros(0, dtype=np.uint64)
+            return z, z.copy(), z.copy()
+        return (
+            np.concatenate(parts_d),
+            np.concatenate(parts_t),
+            np.concatenate(parts_l),
+        )
+
+    def bm25_vec(self, df: int, tfs: np.ndarray, dls: np.ndarray) -> np.ndarray:
+        """Vectorized hw3/DataLoader.cpp:302-314; float64 op order mirrors the
+        C++ expression exactly (no clamp — scores may be negative)."""
+        k1, b = BM25_K1, BM25_B
+        K = k1 * ((1 - b) + b * dls.astype(np.float64) / self.avgdl)
+        f = tfs.astype(np.float64)
+        idf = math.log((self.N - float(df) + 0.5) / (float(df) + 0.5))
+        return idf * (k1 + 1) * f / (K + f)
+
+    def url_of(self, doc_id: int) -> str:
+        i = int(np.searchsorted(self._doc_ids, doc_id))
+        if i < len(self._doc_ids) and int(self._doc_ids[i]) == doc_id:
+            return self._urls[i].as_py()
+        return ""
+
+    # --- search --------------------------------------------------------------
+
+    def search(self, query: str, mode: str = "disjunctive", k: int = RESULT_NUM):
+        """Returns [(docID, score)] ranked by (score desc, docID asc)."""
+        words = tokenize_query(query)
+        if not words:
+            return []
+        if mode == "disjunctive":
+            return self._disjunctive(words, k)
+        return self._conjunctive(words, k)
+
+    def _topk(self, doc_ids: np.ndarray, scores: np.ndarray, k: int):
+        if len(doc_ids) == 0:
+            return []
+        order = np.lexsort((doc_ids, -scores))[:k]
+        return [(int(doc_ids[i]), float(scores[i])) for i in order]
+
+    def _disjunctive(self, words: list[bytes], k: int):
+        # accumulate per matching doc, term-at-a-time in query order (float
+        # addition order matches the reference's per-term accumulation)
+        acc: dict = {}
+        ids_all = None
+        scores_all = None
+        for term in words:  # duplicates double-count, like cpp :380-392
+            d, t, l = self.postings(term)
+            if len(d) == 0:
+                continue
+            s = self.bm25_vec(self.df(term), t, l)
+            if ids_all is None:
+                ids_all, scores_all = d.copy(), s
+            else:
+                # merge-accumulate: positions of d in ids_all
+                ids_all, scores_all = _merge_add(ids_all, scores_all, d, s)
+        if ids_all is None:
+            ids_all = np.zeros(0, dtype=np.uint64)
+            scores_all = np.zeros(0, dtype=np.float64)
+        top_matched = self._topk(ids_all, scores_all, k)
+        # zero-padding semantics (dense array over all N docs, cpp :378):
+        # non-matching docs score 0.0 and fill remaining ranks docID-asc
+        # pad needed when fewer than k matches, or when the kth match scores
+        # <= 0 (zero-score non-matches outrank negatives and tie-break zeros)
+        if len(top_matched) < k or (top_matched and top_matched[-1][1] <= 0.0):
+            pad = _first_missing(np.sort(ids_all), self.N, k)
+            merged = top_matched + [(int(p), 0.0) for p in pad]
+            merged.sort(key=lambda r: (-r[1], r[0]))
+            return merged[: min(k, self.N)]
+        return top_matched
+
+    def _conjunctive(self, words: list[bytes], k: int):
+        # min-df seed: first term achieving the minimum (strict '<' scan,
+        # cpp :396-405); missing terms have df 0 and win -> empty result
+        minterm = words[0]
+        mindf = self.df(minterm)
+        for term in words[1:]:
+            if self.df(term) < mindf:
+                minterm, mindf = term, self.df(term)
+        d0, t0, l0 = self.postings(minterm)
+        if len(d0) == 0:
+            return []
+        cand = d0
+        scores = self.bm25_vec(self.df(minterm), t0, l0)
+        lo, hi = int(cand[0]), int(cand[-1])
+        for term in words:
+            if term == minterm:
+                continue  # skips ALL copies of the seed (cpp :413)
+            d, t, l = self.postings(term, min_docid=lo, max_docid=hi)
+            if len(d) == 0:
+                continue
+            pos = np.searchsorted(d, cand)
+            pos_c = np.minimum(pos, len(d) - 1)
+            hit = d[pos_c] == cand
+            if hit.any():
+                s = self.bm25_vec(self.df(term), t[pos_c[hit]], l[pos_c[hit]])
+                scores[hit] += s
+        return self._topk(cand, scores, k)
+
+    def search_batch(self, queries: list[dict]) -> pd.DataFrame:
+        rows = []
+        for q in queries:
+            res = self.search(q["query"], q.get("mode", "disjunctive"), q.get("k", RESULT_NUM))
+            for rank, (doc_id, score) in enumerate(res, 1):
+                rows.append(
+                    {
+                        "query_id": q.get("query_id"),
+                        "rank": rank,
+                        "docID": doc_id,
+                        "score": score,
+                        "url": self.url_of(doc_id),
+                    }
+                )
+        return pd.DataFrame(
+            rows, columns=["query_id", "rank", "docID", "score", "url"]
+        )
+
+
+def _merge_add(ids_a, sc_a, ids_b, sc_b):
+    """Union of two sorted (ids -> score) maps, scores added on overlap.
+    b's scores are ADDED AFTER a's (addition-order parity with TAAT)."""
+    ids = np.union1d(ids_a, ids_b)
+    out = np.zeros(len(ids), dtype=np.float64)
+    pa_ = np.searchsorted(ids, ids_a)
+    out[pa_] = sc_a
+    pb = np.searchsorted(ids, ids_b)
+    out[pb] += sc_b
+    return ids, out
+
+
+def _first_missing(sorted_ids: np.ndarray, n_docs: int, k: int) -> np.ndarray:
+    """First k docIDs in [0, n_docs) absent from sorted_ids (zero-pad pool)."""
+    out = []
+    next_id = 0
+    i = 0
+    while len(out) < k and next_id < n_docs:
+        if i < len(sorted_ids) and int(sorted_ids[i]) == next_id:
+            i += 1
+        elif i < len(sorted_ids) and int(sorted_ids[i]) < next_id:
+            i += 1
+            continue
+        else:
+            out.append(next_id)
+        next_id += 1
+    return np.array(out, dtype=np.uint64)
+
+
+class QueryScorer:
+    """Actor-pool map_batches class: a batch of query rows -> result rows.
+
+    Index + lexicon + doctable load once per actor (T2/T3 in SURVEY.md §2.4);
+    use ``ds.map_batches(QueryScorer, fn_constructor_args=(index_dir,),
+    concurrency=N, batch_format="pandas")``.
+    """
+
+    def __init__(self, index_dir: str):
+        self.engine = SearchEngine(index_dir)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        return self.engine.search_batch(batch.to_dict("records"))
