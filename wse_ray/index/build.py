@@ -327,11 +327,14 @@ def build_index(
         heavy_ds = partials.groupby("th").map_groups(
             partial(_sum_filter_heavy, threshold=threshold), batch_format="pandas"
         )
-        heavy_tbl = pa.Table.from_pandas(
-            heavy_ds.to_pandas(), schema=pa.schema(
-                [("term", pa.large_binary()), ("df", pa.uint64())]
-            ), preserve_index=False,
-        )
+        heavy_pdf = heavy_ds.to_pandas()
+        heavy_schema = pa.schema([("term", pa.large_binary()), ("df", pa.uint64())])
+        if len(heavy_pdf) == 0:  # no heavy hitters at this threshold
+            heavy_tbl = heavy_schema.empty_table()
+        else:
+            heavy_tbl = pa.Table.from_pandas(
+                heavy_pdf, schema=heavy_schema, preserve_index=False
+            )
         pq.write_table(heavy_tbl, os.path.join(heavy_dir, "heavy.parquet"))
         _mark(heavy_dir)
         timings["heavy"] = time.perf_counter() - t0
