@@ -1,0 +1,125 @@
+"""Tests for the training-data pipeline operators (dedup, ANN, textstats)."""
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    rows = []
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    for i in range(40):
+        rows.append({"doc_id": i, "text": f"unique document {i} " + " ".join(f"w{i}x{j}" for j in range(20))})
+    # planted exact duplicates
+    rows.append({"doc_id": 100, "text": base})
+    rows.append({"doc_id": 101, "text": base})
+    # planted near-duplicate (one word changed)
+    rows.append({"doc_id": 102, "text": base.replace("today", "tonight")})
+    return ray.data.from_pandas(pd.DataFrame(rows))
+
+
+def test_exact_dedup(docs_ds):
+    from wse_ray.functions.dedup import exact_dedup
+
+    out = exact_dedup(docs_ds).to_pandas()
+    assert len(out) == 42  # 43 docs, one exact dup removed
+    dup = out[out["n_copies"] > 1]
+    assert list(dup["doc_id"]) == [100]  # min doc_id survives
+
+
+def test_minhash_finds_planted_neardup(docs_ds):
+    from wse_ray.functions.dedup import minhash_dedup_pairs
+
+    pairs = minhash_dedup_pairs(docs_ds, threshold=0.5)
+    got = set(zip(pairs["a"], pairs["b"]))
+    assert (100, 101) in got  # exact dup -> jaccard 1.0
+    assert (100, 102) in got or (101, 102) in got  # near dup
+    # no false positives among the unique docs
+    assert all(a >= 100 for a, _ in got)
+
+
+def test_simhash_finds_exact_dup(docs_ds):
+    from wse_ray.functions.dedup import simhash_pairs
+
+    pairs = simhash_pairs(docs_ds, max_hamming=3)
+    got = set(zip(pairs["a"], pairs["b"]))
+    assert (100, 101) in got
+
+
+def test_jaccard():
+    from wse_ray.functions.dedup import jaccard
+
+    assert jaccard("a b c d", "a b c d") == 1.0
+    assert jaccard("a b c d", "x y z w") == 0.0
+
+
+@pytest.fixture(scope="module")
+def vec_ds(ray_session):
+    rng = np.random.default_rng(3)
+    mat = rng.normal(size=(200, 16))
+    mat[50] = mat[10] * 1.5 + rng.normal(scale=1e-4, size=16)  # near-dup pair
+    return ray.data.from_pandas(
+        pd.DataFrame({"vec_id": np.arange(200), "embedding": list(mat)})
+    )
+
+
+def test_brute_topk_matches_numpy(vec_ds):
+    from wse_ray.functions.ann import brute_topk
+
+    out = brute_topk(vec_ds, query_ids=[0, 1], k=5)
+    assert set(out["query_id"]) == {0, 1}
+    assert (out.groupby("query_id")["rank"].max() == 5).all()
+    # query vector's own best match is itself (cosine 1.0)
+    top0 = out[(out["query_id"] == 0) & (out["rank"] == 1)].iloc[0]
+    assert top0["vec_id"] == 0 and abs(top0["cosine"] - 1.0) < 1e-9
+
+
+def test_ivf_recall_vs_brute(vec_ds):
+    from wse_ray.functions.ann import brute_topk, ivf_topk
+
+    qs = [0, 1, 2, 3, 4]
+    brute = brute_topk(vec_ds, qs, k=5)
+    approx = ivf_topk(vec_ds, qs, k=5, n_clusters=8, nprobe=4)
+    recalls = []
+    for q in qs:
+        b = set(brute[brute["query_id"] == q]["vec_id"])
+        a = set(approx[approx["query_id"] == q]["vec_id"])
+        recalls.append(len(a & b) / len(b))
+    assert np.mean(recalls) >= 0.6  # nprobe=4 of 8 cells
+
+
+def test_embedding_dup_pairs(vec_ds):
+    from wse_ray.functions.dedup import embedding_dup_pairs
+
+    pairs = embedding_dup_pairs(vec_ds, tau=0.999)
+    assert (10, 50) in set(zip(pairs["a"], pairs["b"]))
+
+
+def test_textstats(docs_ds):
+    from wse_ray.functions.textstats import fingerprints, lang_id, quality_score, token_stats
+
+    ts = docs_ds.map_batches(token_stats, batch_format="pyarrow").to_pandas()
+    row = ts[ts["doc_id"] == 100].iloc[0]
+    assert row["n_tokens"] == 15 and row["n_distinct"] == 13
+    qs = docs_ds.map_batches(quality_score, batch_format="pyarrow").to_pandas()
+    assert (qs["stopword_ratio"] >= 0).all() and (qs["stopword_ratio"] <= 1).all()
+    li = docs_ds.map_batches(lang_id, batch_format="pyarrow").to_pandas()
+    assert li[li["doc_id"] == 100]["pred_lang"].iloc[0] == "en"
+    fp = docs_ds.map_batches(fingerprints, batch_format="pyarrow").to_pandas()
+    h100 = fp[fp["doc_id"] == 100].iloc[0]
+    h101 = fp[fp["doc_id"] == 101].iloc[0]
+    assert h100["md5"] == h101["md5"] and h100["simhash64"] == h101["simhash64"]
+
+
+def test_multimodal_stage(ray_session):
+    from wse_ray.functions.multimodal import DecodeMedia, synth_media_ds
+
+    ds = synth_media_ds("/root/testdata/sf0.001")
+    out = ds.map_batches(
+        DecodeMedia, concurrency=2, batch_size=64, batch_format="pyarrow"
+    ).to_pandas()
+    assert len(out) == 500
+    assert out["decoded"].all()
+    assert (out["width"] >= 16).all() and (out["n_bytes"] > 0).all()

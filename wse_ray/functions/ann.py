@@ -1,0 +1,171 @@
+"""Similarity search over an embedding column (list<float>).
+
+* ``brute_topk`` — exact cosine top-k: the query matrix is broadcast once
+  (ray.put), every batch computes a matmul and emits its LOCAL top-k per
+  query; the driver merges the tiny partials.  This is the scalable exact
+  baseline: shuffle volume is (batches x queries x k), not the corpus.
+* ``ivf_topk`` — IVF approximation: deterministic numpy k-means on a sample
+  builds the centroid table (broadcast); each batch assigns its vectors to
+  the nearest centroid; queries probe only the ``nprobe`` nearest clusters.
+  At 10^12 scale the assignment becomes the partitioning key so each probe
+  touches only its clusters' partitions.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+
+
+def _stack(batch_col) -> np.ndarray:
+    return np.stack(batch_col.to_numpy(zero_copy_only=False)).astype(np.float64)
+
+
+class _BatchTopK:
+    def __init__(self, query_ref, k: int):
+        self.query_ref = query_ref
+        self.k = k
+        self._q = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+
+        if self._q is None:
+            self._q = ray.get(self.query_ref)
+        q_ids, q_mat = self._q
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _normalize(_stack(batch["embedding"]))
+        sims = q_mat @ mat.T  # (n_queries, batch)
+        k = min(self.k, sims.shape[1])
+        out_q, out_v, out_s = [], [], []
+        for qi in range(sims.shape[0]):
+            idx = np.argpartition(-sims[qi], k - 1)[:k]
+            out_q.extend([int(q_ids[qi])] * k)
+            out_v.extend(ids[idx].tolist())
+            out_s.extend(sims[qi, idx].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def _merge_topk(partials: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Merge per-batch partial top-k; rank by (rounded cosine desc, vec_id)."""
+    partials = partials.copy()
+    partials["cosine"] = partials["cosine"].round(6)
+    partials = partials.sort_values(
+        ["query_id", "cosine", "vec_id"], ascending=[True, False, True]
+    )
+    out = partials.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return out[["query_id", "rank", "vec_id", "cosine"]]
+
+
+def brute_topk(ds, query_ids: list[int], k: int = 10) -> pd.DataFrame:
+    """Exact cosine top-k of each query vector against the full dataset.
+
+    ``query_ids`` select query vectors from the dataset itself (self-join
+    style, so the oracle SQL can reproduce it exactly).
+    """
+    import ray
+
+    qsel = ds.map_batches(
+        lambda t: t.filter(
+            pa.array(
+                np.isin(
+                    t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    np.array(query_ids),
+                )
+            )
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    qsel = qsel.sort_values("vec_id")
+    q_ids = qsel["vec_id"].to_numpy(np.int64)
+    q_mat = _normalize(np.stack(qsel["embedding"].to_numpy()))
+    ref = ray.put((q_ids, q_mat))
+    partials = ds.map_batches(_BatchTopK(ref, k), batch_format="pyarrow").to_pandas()
+    return _merge_topk(partials, k)
+
+
+# --------------------------------------------------------------------------
+# IVF
+# --------------------------------------------------------------------------
+
+
+def _kmeans(mat: np.ndarray, n_clusters: int, iters: int = 10, seed: int = 11) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    centers = mat[rng.choice(len(mat), size=min(n_clusters, len(mat)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(mat @ centers.T, axis=1)
+        for c in range(len(centers)):
+            members = mat[assign == c]
+            if len(members):
+                centers[c] = _normalize(members.mean(axis=0, keepdims=True))[0]
+    return centers
+
+
+def ivf_topk(
+    ds,
+    query_ids: list[int],
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    sample_rows: int = 2000,
+) -> pd.DataFrame:
+    """Approximate cosine top-k: probe only the nprobe nearest IVF cells."""
+    import ray
+
+    sample = ds.limit(sample_rows).to_pandas()
+    centers = _kmeans(_normalize(np.stack(sample["embedding"].to_numpy())), n_clusters)
+    qsel = ds.map_batches(
+        lambda t: t.filter(
+            pa.array(
+                np.isin(
+                    t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    np.array(query_ids),
+                )
+            )
+        ),
+        batch_format="pyarrow",
+    ).to_pandas().sort_values("vec_id")
+    q_ids = qsel["vec_id"].to_numpy(np.int64)
+    q_mat = _normalize(np.stack(qsel["embedding"].to_numpy()))
+    # clusters each query probes
+    probe = np.argsort(-(q_mat @ centers.T), axis=1)[:, :nprobe]
+    ref = ray.put((q_ids, q_mat, centers, probe))
+
+    def batch_probe(batch: pa.Table) -> pa.Table:
+        qi_ids, qm, cent, prb = ray.get(ref)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _normalize(_stack(batch["embedding"]))
+        assign = np.argmax(mat @ cent.T, axis=1)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(qi_ids)):
+            mask = np.isin(assign, prb[qi])
+            if not mask.any():
+                continue
+            sims = qm[qi] @ mat[mask].T
+            kk = min(k, len(sims))
+            idx = np.argpartition(-sims, kk - 1)[:kk]
+            sel = np.flatnonzero(mask)[idx]
+            out_q.extend([int(qi_ids[qi])] * kk)
+            out_v.extend(ids[sel].tolist())
+            out_s.extend(sims[idx].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(batch_probe, batch_format="pyarrow").to_pandas()
+    return _merge_topk(partials, k)
