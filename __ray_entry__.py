@@ -1,18 +1,19 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported — nothing
+here (or in wse_ray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()``    — flagship: build the partitioned inverted index over the
+                 sf0.001 documents table (tokenize -> runs checkpoint ->
+                 doctable/stats -> postings shuffle -> blocked varbyte
+                 encode) and answer the fixed BM25 query set from it.
+``queries()``  — one callable per implemented operator/pipeline
+                 (SURVEY.md §2 + the training-data operators).
+``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible entry;
+                 the rest (LSH/simhash candidates, approximate IVF, snippet
+                 text, lang-id heuristic, multimodal stub) get the
+                 driver's rows-only check and are pinned by pytest instead.
 """
-
 from __future__ import annotations
 
 from collections.abc import Callable
@@ -20,25 +21,48 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from wse_ray.pipelines import engine_queries as eq
+
+    return eq.q_bm25_disjunctive("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from wse_ray.pipelines import engine_queries as eq
+    from wse_ray.pipelines import relational as rel
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # search-engine core (SURVEY.md §2: O1-O6, A1, G1-G5, S4-S6, Q2-Q3, K3)
+        "postings": eq.q_postings,
+        "doctable": eq.q_doctable,
+        "corpus_stats": eq.q_corpus_stats,
+        "term_df": eq.q_term_df,
+        "lexicon_stats": eq.q_lexicon_stats,
+        "bm25_disjunctive": eq.q_bm25_disjunctive,
+        "bm25_conjunctive": eq.q_bm25_conjunctive,
+        "search_snippets": eq.q_search_snippets,  # N1-N6 dispatch, rows-only
+        # text analysis
+        "token_counts": eq.q_token_counts,
+        "doc_quality": eq.q_doc_quality,
+        "lang_id": eq.q_lang_id,  # rows-only (heuristic)
+        "fingerprint_md5": eq.q_fingerprint_md5,
+        # dedup / similarity
+        "dedup_exact": eq.q_dedup_exact,
+        "dedup_minhash": eq.q_dedup_minhash,  # rows-only (LSH candidates)
+        "dedup_simhash": eq.q_dedup_simhash,  # rows-only
+        "dedup_embedding": eq.q_dedup_embedding,
+        "ann_topk": eq.q_ann_topk,
+        "ann_ivf": eq.q_ann_ivf,  # rows-only (approximate)
+        "multimodal_meta": eq.q_multimodal_meta,  # rows-only (stub decode)
+        # relational / streaming-shaped demos
+        "pricing_summary": rel.q_pricing_summary,
+        "revenue_by_nation": rel.q_revenue_by_nation,
+        "events_window": rel.q_events_window,
+        "top_users": rel.q_top_users,
+        "sessionize": rel.q_sessionize,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from wse_ray.pipelines.oracles import oracle_sql_map
+
+    return oracle_sql_map()

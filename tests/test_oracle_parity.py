@@ -1,0 +1,98 @@
+"""Driver-style gate: run every queries() entry vs its DuckDB oracle at
+sf0.01 — row count, column names/dtypes, and order-insensitive values."""
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def ql(ray_session):
+    import __ray_entry__ as entrymod
+
+    return entrymod.queries(), entrymod.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return c
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype(np.int64)
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype(np.float64).round(6)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+SQL_CHECKED = [
+    "postings",
+    "doctable",
+    "corpus_stats",
+    "term_df",
+    "lexicon_stats",
+    "bm25_disjunctive",
+    "bm25_conjunctive",
+    "token_counts",
+    "doc_quality",
+    "fingerprint_md5",
+    "dedup_exact",
+    "dedup_embedding",
+    "ann_topk",
+    "pricing_summary",
+    "revenue_by_nation",
+    "events_window",
+    "top_users",
+    "sessionize",
+]
+
+
+@pytest.mark.parametrize("name", SQL_CHECKED)
+def test_sql_parity(ql, con, name):
+    queries, oracles = ql
+    got = _canon(pd.DataFrame(queries[name](SF_DIR)))
+    want = _canon(con.sql(oracles[name]).df())
+    assert list(got.columns) == list(want.columns), (
+        f"{name}: columns {list(got.columns)} != {list(want.columns)}"
+    )
+    assert len(got) == len(want), f"{name}: rows {len(got)} != {len(want)}"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=0, rtol=0)
+
+
+ROWS_ONLY = [
+    "search_snippets",
+    "lang_id",
+    "dedup_minhash",
+    "dedup_simhash",
+    "ann_ivf",
+    "multimodal_meta",
+]
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_entries_run(ql, name):
+    queries, oracles = ql
+    assert name not in oracles
+    out = pd.DataFrame(queries[name](SF_DIR))
+    assert out is not None and len(out.columns) > 0
+
+
+def test_entry_smoke(ray_session):
+    import __ray_entry__ as entrymod
+
+    out = pd.DataFrame(entrymod.entry())
+    assert len(out) > 0
+    assert set(out.columns) == {"query_id", "rank", "doc_id", "score"}

@@ -21,6 +21,32 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
 
 
+def cosine_matrix_duckdb(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """float64 cosine matrix that agrees with DuckDB's
+    ``list_cosine_similarity`` after 6-dp rounding.
+
+    Fast path: one BLAS matmul + norm outer product.  BLAS pairwise
+    summation can differ from DuckDB's sequential accumulation by ~1 ulp,
+    which flips the 6th decimal when a value sits on a rounding boundary —
+    so entries within 1e-8 of a boundary are recomputed with DuckDB's exact
+    arithmetic (sequential sums, dot/(sqrt(sa)*sqrt(sb))), verified
+    bit-identical against DuckDB 1.0.
+    """
+    na = np.maximum(np.sqrt((A * A).sum(1)), 1e-12)
+    nb = np.maximum(np.sqrt((B * B).sum(1)), 1e-12)
+    sims = (A @ B.T) / (na[:, None] * nb[None, :])
+    r = sims * 1e6
+    near = np.abs(r - np.floor(r) - 0.5) < 1e-2
+    for i, j in zip(*np.nonzero(near)):
+        sd = sa = sb = 0.0
+        for x, y in zip(A[i], B[j]):
+            sd += x * y
+            sa += x * x
+            sb += y * y
+        sims[i, j] = sd / (np.sqrt(sa) * np.sqrt(sb))
+    return sims
+
+
 def _stack(batch_col) -> np.ndarray:
     return np.stack(batch_col.to_numpy(zero_copy_only=False)).astype(np.float64)
 
@@ -38,8 +64,8 @@ class _BatchTopK:
             self._q = ray.get(self.query_ref)
         q_ids, q_mat = self._q
         ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        mat = _normalize(_stack(batch["embedding"]))
-        sims = q_mat @ mat.T  # (n_queries, batch)
+        mat = _stack(batch["embedding"])
+        sims = cosine_matrix_duckdb(q_mat, mat)  # (n_queries, batch)
         k = min(self.k, sims.shape[1])
         out_q, out_v, out_s = [], [], []
         for qi in range(sims.shape[0]):
@@ -89,7 +115,7 @@ def brute_topk(ds, query_ids: list[int], k: int = 10) -> pd.DataFrame:
     ).to_pandas()
     qsel = qsel.sort_values("vec_id")
     q_ids = qsel["vec_id"].to_numpy(np.int64)
-    q_mat = _normalize(np.stack(qsel["embedding"].to_numpy()))
+    q_mat = np.stack(qsel["embedding"].to_numpy()).astype(np.float64)
     ref = ray.put((q_ids, q_mat))
     partials = ds.map_batches(_BatchTopK(ref, k), batch_format="pyarrow").to_pandas()
     return _merge_topk(partials, k)

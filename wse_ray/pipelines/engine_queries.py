@@ -1,0 +1,385 @@
+"""Driver-facing pipelines over the testdata tables (the correctness gate).
+
+Every function takes ``sf_dir`` and returns a pandas DataFrame whose column
+NAMES AND TYPES match the DuckDB oracle SQL in ``oracle_sql_map()`` exactly
+(the driver hashes values after sorting columns by name — int64/float64/str
+only, floats rounded to 6 dp on BOTH sides before ranking/output).
+
+The search-engine entries run the REAL pipeline: they build (and cache,
+resumably) a partitioned index under /tmp/wse_ray_cache/<sf>, then query it.
+``tokenizer_mode="simple"`` keeps the oracle SQL exactly expressible
+(documents.text is body-only: no url first line, no trailing-drop quirk —
+the TREC quirks are pinned against the python oracle in pytest instead).
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..config import BuildConfig
+from ..index.build import build_index
+from ..query.scorer import SearchEngine
+from ..sources.corpus import corpus_from_documents_table
+from ..stages.tokenize_stage import TokenizeDocs, explode_postings
+
+# ---------------------------------------------------------------------------
+# fixed query sets over the documents table ('dup' is the only rare term;
+# most terms have df > N/2 and therefore NEGATIVE idf — faithful reference
+# behavior, exercised on purpose)
+# ---------------------------------------------------------------------------
+
+DISJ_QUERIES = [
+    (0, "dup"),
+    (1, "join hash"),
+    (2, "the dup"),
+    (3, "zzz_absent"),
+    (4, "sort merge join"),
+    (5, "window scan"),
+]
+CONJ_QUERIES = [
+    (0, "dup join"),
+    (1, "sort merge"),
+    (2, "zzz_absent join"),
+    (3, "the dup scan"),
+]
+TOP_K = 10
+
+_ENGINE_CACHE: dict[str, SearchEngine] = {}
+
+
+def _index_dir(sf_dir: str) -> str:
+    return os.path.join("/tmp/wse_ray_cache", sf_dir.strip("/").replace("/", "_"))
+
+
+def get_engine(sf_dir: str) -> SearchEngine:
+    if sf_dir not in _ENGINE_CACHE:
+        out = _index_dir(sf_dir)
+        build_index(
+            lambda: corpus_from_documents_table(sf_dir),
+            out,
+            BuildConfig(num_partitions=8, tokenizer_mode="simple"),
+        )
+        _ENGINE_CACHE[sf_dir] = SearchEngine(out)
+    return _ENGINE_CACHE[sf_dir]
+
+
+def _tokenized_runs(sf_dir: str):
+    """Tokenized documents Dataset (reuses the cached index's runs files)."""
+    import ray.data
+
+    get_engine(sf_dir)  # ensure built
+    return ray.data.read_parquet(os.path.join(_index_dir(sf_dir), "runs"))
+
+
+# ---------------------------------------------------------------------------
+# search-engine operator pipelines
+# ---------------------------------------------------------------------------
+
+
+def q_postings(sf_dir: str) -> pd.DataFrame:
+    """Exploded posting rows (G1/A1: per-(doc,term) tf)."""
+    ds = _tokenized_runs(sf_dir).map_batches(explode_postings, batch_format="pyarrow")
+    pdf = ds.select_columns(["term", "docID", "tf"]).to_pandas()
+    return pd.DataFrame(
+        {
+            "term": [t.decode("utf-8") for t in pdf["term"]],
+            "doc_id": pdf["docID"].astype(np.int64),
+            "tf": pdf["tf"].astype(np.int64),
+        }
+    ).sort_values(["term", "doc_id"]).reset_index(drop=True)
+
+
+def q_doctable(sf_dir: str) -> pd.DataFrame:
+    """DocTable projection (S6/O6): per-doc char length + distinct terms."""
+    pdf = (
+        _tokenized_runs(sf_dir)
+        .select_columns(["docID", "dataLen", "wordnums"])
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "doc_id": pdf["docID"].astype(np.int64),
+            "data_len": pdf["dataLen"].astype(np.int64),
+            "wordnums": pdf["wordnums"].astype(np.int64),
+        }
+    ).sort_values("doc_id").reset_index(drop=True)
+
+
+def q_corpus_stats(sf_dir: str) -> pd.DataFrame:
+    """Global N / avgdl (G4/G5, avgdl uint32-truncated like hw3/DocTable.h:27)."""
+    eng = get_engine(sf_dir)
+    return pd.DataFrame(
+        {
+            "n_docs": pd.array([eng.N], dtype=np.int64),
+            "avgdl": pd.array([eng.avgdl], dtype=np.int64),
+        }
+    )
+
+
+def q_term_df(sf_dir: str) -> pd.DataFrame:
+    """Per-term document and collection frequency (G3)."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    ds = _tokenized_runs(sf_dir).map_batches(explode_postings, batch_format="pyarrow")
+
+    # pre-aggregate inside batches before the groupby (vocab-sized partials)
+    def partial(batch: pa.Table) -> pa.Table:
+        pdf = pd.DataFrame(
+            {
+                "term": batch["term"].to_numpy(zero_copy_only=False),
+                "tf": batch["tf"].to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        )
+        g = pdf.groupby("term", sort=False)["tf"].agg(["count", "sum"]).reset_index()
+        return pa.table(
+            {
+                "term": pa.array([t.decode("utf-8") for t in g["term"]], pa.string()),
+                "df_p": pa.array(g["count"].to_numpy(np.int64)),
+                "cf_p": pa.array(g["sum"].to_numpy(np.int64)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df_p", alias_name="df"), Sum("cf_p", alias_name="cf"))
+        .to_pandas()
+    )
+    agg = agg.astype({"df": np.int64, "cf": np.int64})
+    return agg.sort_values("term").reset_index(drop=True)
+
+
+def q_lexicon_stats(sf_dir: str) -> pd.DataFrame:
+    """Lexicon view of the BUILT index: df + 64-posting chunk counts (S5)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    get_engine(sf_dir)
+    frames = [
+        pq.read_table(p).to_pandas()
+        for p in sorted(
+            glob.glob(os.path.join(_index_dir(sf_dir), "parts", "part=*", "lexicon.parquet"))
+        )
+    ]
+    lex = pd.concat(frames, ignore_index=True)
+    out = pd.DataFrame(
+        {
+            "term": [t.decode("utf-8") for t in lex["term"]],
+            "df": lex["df_global"].astype(np.int64),
+            "n_chunks": lex["n_chunks"].astype(np.int64),
+        }
+    )
+    # heavy terms appear once per segment; aggregate chunks, keep global df
+    out = (
+        out.groupby("term", as_index=False)
+        .agg(df=("df", "max"), n_chunks=("n_chunks", "sum"))
+        .astype({"df": np.int64, "n_chunks": np.int64})
+    )
+    return out.sort_values("term").reset_index(drop=True)
+
+
+def _bm25_results(sf_dir: str, queries, mode: str) -> pd.DataFrame:
+    eng = get_engine(sf_dir)
+    rows = []
+    for qid, q in queries:
+        res = eng.search(q, mode, TOP_K + 20)
+        res = [(int(d), round(float(s), 6)) for d, s in res]
+        res.sort(key=lambda r: (-r[1], r[0]))  # rank on ROUNDED score
+        for rank, (d, s) in enumerate(res[:TOP_K], 1):
+            rows.append((qid, rank, d, s))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"]).astype(
+        {"query_id": np.int64, "rank": np.int64, "doc_id": np.int64, "score": float}
+    )
+
+
+def q_bm25_disjunctive(sf_dir: str) -> pd.DataFrame:
+    """TAAT disjunctive BM25 top-10 (Q2) on the fixed query set."""
+    return _bm25_results(sf_dir, DISJ_QUERIES, "disjunctive")
+
+
+def q_bm25_conjunctive(sf_dir: str) -> pd.DataFrame:
+    """Soft-conjunctive BM25 top-10 (Q3, candidates = min-df term postings)."""
+    return _bm25_results(sf_dir, CONJ_QUERIES, "conjunctive")
+
+
+def q_search_snippets(sf_dir: str) -> pd.DataFrame:
+    """Search + snippet generation (N1-N6 dispatch; rows-only check)."""
+    from ..query.snippets_stage import attach_snippets
+
+    eng = get_engine(sf_dir)
+    frames = []
+    for qid, q in [(0, "dup join"), (1, "sort merge scan")]:
+        res = eng.search_batch(
+            [{"query_id": qid, "query": q, "mode": "disjunctive", "k": 5}]
+        )
+        res["query"] = q
+        frames.append(res)
+    res = pd.concat(frames, ignore_index=True)
+    corpus = corpus_from_documents_table(sf_dir)
+    out = attach_snippets(res, eng, corpus, algo="bm25", use_index_stats=True)
+    out = out[["query_id", "rank", "docID", "snippet"]].rename(columns={"docID": "doc_id"})
+    return out.astype({"query_id": np.int64, "rank": np.int64, "doc_id": np.int64})
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def _docs_ds(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+
+def q_token_counts(sf_dir: str) -> pd.DataFrame:
+    from ..functions.textstats import token_stats
+
+    out = _docs_ds(sf_dir).map_batches(token_stats, batch_format="pyarrow").to_pandas()
+    return out.astype(
+        {"doc_id": np.int64, "n_tokens": np.int64, "n_distinct": np.int64}
+    ).sort_values("doc_id").reset_index(drop=True)
+
+
+def q_doc_quality(sf_dir: str) -> pd.DataFrame:
+    from ..functions.textstats import quality_score
+
+    out = _docs_ds(sf_dir).map_batches(quality_score, batch_format="pyarrow").to_pandas()
+    for c in ("distinct_ratio", "stopword_ratio", "mean_token_len"):
+        out[c] = out[c].round(6)
+    return out.astype(
+        {"doc_id": np.int64, "n_chars": np.int64, "n_tokens": np.int64}
+    ).sort_values("doc_id").reset_index(drop=True)
+
+
+def q_lang_id(sf_dir: str) -> pd.DataFrame:
+    from ..functions.textstats import lang_id
+
+    out = _docs_ds(sf_dir).map_batches(lang_id, batch_format="pyarrow").to_pandas()
+    return out.astype({"doc_id": np.int64}).sort_values("doc_id").reset_index(drop=True)
+
+
+def q_fingerprint_md5(sf_dir: str) -> pd.DataFrame:
+    from ..functions.dedup import add_md5
+
+    out = _docs_ds(sf_dir).map_batches(add_md5, batch_format="pyarrow").to_pandas()
+    return out.astype({"doc_id": np.int64}).sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# dedup / similarity
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
+    from ..functions.dedup import exact_dedup
+
+    out = exact_dedup(_docs_ds(sf_dir)).to_pandas()
+    return out.astype({"doc_id": np.int64, "n_copies": np.int64}).sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+
+
+def q_dedup_minhash(sf_dir: str) -> pd.DataFrame:
+    from ..functions.dedup import minhash_dedup_pairs
+
+    return minhash_dedup_pairs(_docs_ds(sf_dir), threshold=0.5)
+
+
+def q_dedup_simhash(sf_dir: str) -> pd.DataFrame:
+    from ..functions.dedup import simhash_pairs
+
+    out = simhash_pairs(_docs_ds(sf_dir), max_hamming=3)
+    return out.astype({"a": np.int64, "b": np.int64, "hamming": np.int64})
+
+
+def _emb_ds(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def q_dedup_embedding(sf_dir: str) -> pd.DataFrame:
+    """Same-label cosine >= 0.4 pairs (label is the blocking key)."""
+    import ray
+
+    tbl = _emb_ds(sf_dir).to_pandas()
+    ids = tbl["vec_id"].to_numpy(np.int64)
+    labels = tbl["label"].to_numpy(np.int64)
+    mat = np.stack(tbl["embedding"].to_numpy()).astype(np.float64)
+    ref = ray.put((ids, labels, mat))
+
+    def batch_pairs(batch: pa.Table) -> pa.Table:
+        a_ids, a_lab, a_mat = ray.get(ref)
+        bids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        blab = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        from ..functions.ann import cosine_matrix_duckdb
+
+        bm = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        sims = np.round(cosine_matrix_duckdb(bm, a_mat), 6)
+        ra, rb, rs = [], [], []
+        for i in range(len(bids)):
+            ok = (sims[i] >= 0.4) & (a_lab == blab[i]) & (a_ids > bids[i])
+            for j in np.flatnonzero(ok):
+                ra.append(int(bids[i]))
+                rb.append(int(a_ids[j]))
+                rs.append(float(sims[i, j]))
+        return pa.table(
+            {
+                "a": pa.array(ra, pa.int64()),
+                "b": pa.array(rb, pa.int64()),
+                "cosine": pa.array(rs, pa.float64()),
+            }
+        )
+
+    out = _emb_ds(sf_dir).map_batches(batch_pairs, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+ANN_K = 10
+
+
+def q_ann_topk(sf_dir: str) -> pd.DataFrame:
+    from ..functions.ann import brute_topk
+
+    out = brute_topk(_emb_ds(sf_dir), ANN_QUERY_IDS, ANN_K)
+    return out.astype(
+        {"query_id": np.int64, "rank": np.int64, "vec_id": np.int64, "cosine": float}
+    )
+
+
+def q_ann_ivf(sf_dir: str) -> pd.DataFrame:
+    from ..functions.ann import ivf_topk
+
+    out = ivf_topk(_emb_ds(sf_dir), ANN_QUERY_IDS, ANN_K, n_clusters=16, nprobe=8)
+    return out.astype(
+        {"query_id": np.int64, "rank": np.int64, "vec_id": np.int64, "cosine": float}
+    )
+
+
+def q_multimodal_meta(sf_dir: str) -> pd.DataFrame:
+    from ..functions.multimodal import DecodeMedia, synth_media_ds
+
+    out = (
+        synth_media_ds(sf_dir)
+        .map_batches(DecodeMedia, concurrency=2, batch_size=128, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out["byte_mean"] = out["byte_mean"].round(6)
+    return out.astype(
+        {
+            "media_id": np.int64,
+            "width": np.int64,
+            "height": np.int64,
+            "channels": np.int64,
+            "n_bytes": np.int64,
+        }
+    ).sort_values("media_id").reset_index(drop=True)

@@ -1,0 +1,300 @@
+"""DuckDB oracle SQL for every SQL-expressible queries() entry.
+
+Column names, types, rounding (6 dp for scores/ratios, 4 dp for money sums)
+and rank tie-breaks match the Ray pipelines in engine_queries.py /
+relational.py EXACTLY — the driver hashes values after sorting columns by
+name, so any divergence is a gate failure.
+
+documents.text is lowercase words joined by single spaces (verified), so
+the tokenizer oracle splits on ' '; the full byte-level separator semantics
+are pinned against the python oracle in pytest (tests/test_build_e2e.py).
+"""
+from __future__ import annotations
+
+from .engine_queries import ANN_K, ANN_QUERY_IDS, CONJ_QUERIES, DISJ_QUERIES, TOP_K
+from ..functions.textstats import STOPWORDS
+
+# shared tokenization CTEs over documents
+_TOK = """
+tok AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+  WHERE t.term <> ''
+),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term
+),
+dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+),
+stats AS (
+  SELECT count(*)::BIGINT AS n,
+         CAST(floor(sum(length(text))::DOUBLE / count(*)) AS BIGINT) AS avgdl
+  FROM documents
+)
+"""
+
+
+def _values(rows) -> str:
+    return ", ".join(f"({qid}, {ord_}, '{term}')" for qid, ord_, term in rows)
+
+
+def _query_terms(queries) -> str:
+    rows = []
+    for qid, q in queries:
+        for i, term in enumerate(q.split()):
+            rows.append((qid, i, term))
+    return _values(rows)
+
+
+# BM25 per-posting score, exactly the engine expression
+# (hw3/DataLoader.cpp:302-314): idf * (k1+1) * tf / (K + tf)
+_BM25 = (
+    "ln((s.n - dft.df + 0.5) / (dft.df + 0.5)) * 2.2 * tf.tf"
+    " / (1.2 * (0.25 + 0.75 * length(d.text) / s.avgdl) + tf.tf)"
+)
+
+
+def sql_postings() -> str:
+    return f"WITH {_TOK} SELECT term, doc_id, tf FROM tf ORDER BY term, doc_id"
+
+
+def sql_doctable() -> str:
+    return f"""WITH {_TOK},
+wn AS (SELECT doc_id, count(DISTINCT term)::BIGINT AS wordnums FROM tok GROUP BY doc_id)
+SELECT d.doc_id, length(d.text)::BIGINT AS data_len,
+       coalesce(wn.wordnums, 0)::BIGINT AS wordnums
+FROM documents d LEFT JOIN wn USING(doc_id) ORDER BY doc_id"""
+
+
+def sql_corpus_stats() -> str:
+    return f"WITH {_TOK} SELECT n AS n_docs, avgdl FROM stats"
+
+
+def sql_term_df() -> str:
+    return f"""WITH {_TOK}
+SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
+FROM tf GROUP BY term ORDER BY term"""
+
+
+def sql_lexicon_stats() -> str:
+    return f"""WITH {_TOK}
+SELECT term, df, CAST(ceil(df / 64.0) AS BIGINT) AS n_chunks
+FROM dft ORDER BY term"""
+
+
+def sql_bm25_disjunctive() -> str:
+    return f"""WITH {_TOK},
+q(query_id, ord, term) AS (VALUES {_query_terms(DISJ_QUERIES)}),
+matches AS (
+  SELECT q.query_id, tf.doc_id, sum({_BM25}) AS score
+  FROM q
+  JOIN tf USING (term)
+  JOIN dft USING (term)
+  JOIN documents d ON d.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+all_docs AS (
+  SELECT qq.query_id, d.doc_id, coalesce(m.score, 0.0) AS score
+  FROM (SELECT DISTINCT query_id FROM q) qq
+  CROSS JOIN documents d
+  LEFT JOIN matches m ON m.query_id = qq.query_id AND m.doc_id = d.doc_id
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id) AS rank,
+         doc_id, round(score, 6) AS score
+  FROM all_docs
+)
+SELECT query_id, rank, doc_id, score FROM ranked
+WHERE rank <= {TOP_K} ORDER BY query_id, rank"""
+
+
+def sql_bm25_conjunctive() -> str:
+    # soft conjunction: candidates = min-df term's postings (first query term
+    # achieving the minimum); other terms add score only where present
+    return f"""WITH {_TOK},
+q(query_id, ord, term) AS (VALUES {_query_terms(CONJ_QUERIES)}),
+qdf AS (
+  SELECT q.query_id, q.ord, q.term, coalesce(dft.df, 0) AS df
+  FROM q LEFT JOIN dft USING (term)
+),
+seed AS (
+  SELECT query_id, term FROM (
+    SELECT query_id, term,
+           row_number() OVER (PARTITION BY query_id ORDER BY df, ord) AS rn
+    FROM qdf
+  ) WHERE rn = 1
+),
+cand AS (
+  SELECT s.query_id, tf.doc_id FROM seed s JOIN tf ON tf.term = s.term
+),
+scored AS (
+  SELECT c.query_id, c.doc_id, sum({_BM25}) AS score
+  FROM cand c
+  JOIN q ON q.query_id = c.query_id
+  JOIN tf ON tf.term = q.term AND tf.doc_id = c.doc_id
+  JOIN dft ON dft.term = q.term
+  JOIN documents d ON d.doc_id = c.doc_id
+  CROSS JOIN stats s
+  GROUP BY c.query_id, c.doc_id
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id) AS rank,
+         doc_id, round(score, 6) AS score
+  FROM scored
+)
+SELECT query_id, rank, doc_id, score FROM ranked
+WHERE rank <= {TOP_K} ORDER BY query_id, rank"""
+
+
+def sql_token_counts() -> str:
+    return f"""WITH {_TOK}
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       count(DISTINCT term)::BIGINT AS n_distinct
+FROM tok GROUP BY doc_id ORDER BY doc_id"""
+
+
+def sql_doc_quality() -> str:
+    stop = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""WITH {_TOK},
+agg AS (
+  SELECT doc_id,
+         count(*)::BIGINT AS n_tokens,
+         count(DISTINCT term)::BIGINT AS n_distinct,
+         sum(CASE WHEN term IN ({stop}) THEN 1 ELSE 0 END)::DOUBLE AS n_stop,
+         sum(length(term))::DOUBLE AS tok_chars
+  FROM tok GROUP BY doc_id
+)
+SELECT d.doc_id, length(d.text)::BIGINT AS n_chars, a.n_tokens,
+       round(a.n_distinct::DOUBLE / a.n_tokens, 6) AS distinct_ratio,
+       round(a.n_stop / a.n_tokens, 6) AS stopword_ratio,
+       round(a.tok_chars / a.n_tokens, 6) AS mean_token_len
+FROM documents d JOIN agg a USING(doc_id) ORDER BY doc_id"""
+
+
+def sql_fingerprint_md5() -> str:
+    return "SELECT doc_id, md5(text) AS text_hash FROM documents ORDER BY doc_id"
+
+
+def sql_dedup_exact() -> str:
+    return """
+SELECT min(doc_id)::BIGINT AS doc_id, md5(text) AS text_hash,
+       count(*)::BIGINT AS n_copies
+FROM documents GROUP BY md5(text) ORDER BY doc_id"""
+
+
+def sql_dedup_embedding() -> str:
+    return """
+SELECT a.vec_id::BIGINT AS a, b.vec_id::BIGINT AS b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
+ORDER BY a, b"""
+
+
+def sql_ann_topk() -> str:
+    ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id IN ({ids})),
+sims AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cosine
+  FROM q CROSS JOIN embeddings e
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank,
+         vec_id, cosine
+  FROM sims
+)
+SELECT query_id, rank, vec_id, cosine FROM ranked
+WHERE rank <= {ANN_K} ORDER BY query_id, rank"""
+
+
+def sql_pricing_summary() -> str:
+    return """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       count(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus"""
+
+
+def sql_revenue_by_nation() -> str:
+    return """
+SELECT n.n_name AS nation, round(sum(o.o_totalprice), 4) AS revenue
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name ORDER BY nation"""
+
+
+def sql_events_window() -> str:
+    return """
+SELECT event_type,
+       to_timestamp((epoch_us(ts) // 3600000000) * 3600)::TIMESTAMP AS window_start,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY event_type, window_start
+ORDER BY event_type, window_start"""
+
+
+def sql_top_users() -> str:
+    return """
+WITH agg AS (
+  SELECT user_id, round(sum(value), 4) AS total_value, count(*)::BIGINT AS n_events
+  FROM events GROUP BY user_id
+),
+ranked AS (
+  SELECT row_number() OVER (ORDER BY total_value DESC, user_id) AS rank, *
+  FROM agg
+)
+SELECT rank, user_id, total_value, n_events FROM ranked
+WHERE rank <= 10 ORDER BY rank"""
+
+
+def sql_sessionize() -> str:
+    return """
+WITH e AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT user_id, count(*)::BIGINT AS n_events,
+       (1 + sum(CASE WHEN prev IS NOT NULL AND ts - prev > INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END))::BIGINT AS n_sessions
+FROM e GROUP BY user_id ORDER BY user_id"""
+
+
+def oracle_sql_map() -> dict[str, str]:
+    return {
+        "postings": sql_postings(),
+        "doctable": sql_doctable(),
+        "corpus_stats": sql_corpus_stats(),
+        "term_df": sql_term_df(),
+        "lexicon_stats": sql_lexicon_stats(),
+        "bm25_disjunctive": sql_bm25_disjunctive(),
+        "bm25_conjunctive": sql_bm25_conjunctive(),
+        "token_counts": sql_token_counts(),
+        "doc_quality": sql_doc_quality(),
+        "fingerprint_md5": sql_fingerprint_md5(),
+        "dedup_exact": sql_dedup_exact(),
+        "dedup_embedding": sql_dedup_embedding(),
+        "ann_topk": sql_ann_topk(),
+        "pricing_summary": sql_pricing_summary(),
+        "revenue_by_nation": sql_revenue_by_nation(),
+        "events_window": sql_events_window(),
+        "top_users": sql_top_users(),
+        "sessionize": sql_sessionize(),
+    }

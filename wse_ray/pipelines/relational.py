@@ -1,0 +1,171 @@
+"""Relational demo pipelines over the TPC-H-ish testdata tables.
+
+These prove the general Dataset idioms (grouped aggregates with map-side
+pre-aggregation, broadcast hash joins, tumbling windows, grouped top-k,
+sessionization) that the engine's own stages are built from.  Each returns
+column-name/type-exact results against a DuckDB oracle.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+    )
+
+
+def q_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1-shaped grouped aggregate with vectorized Arrow pre-compute."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-01"))))
+        disc = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "l_quantity": t["l_quantity"],
+                "l_extendedprice": t["l_extendedprice"],
+                "disc_price": disc,
+            }
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Count(alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+        out[c] = out[c].round(4)
+    out["count_order"] = out["count_order"].astype(np.int64)
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def q_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
+    """customer⋈orders revenue per nation — broadcast hash join of the small
+    dimension side (ray.put once, probed per batch; no shuffle)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    cust_map = dict(zip(cust["c_custkey"].astype(np.int64), cust["c_nationkey"].astype(np.int64)))
+    ref = ray.put(cust_map)
+
+    def attach_nation(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        keys = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nk = pd.Series(keys).map(m).to_numpy(np.int64)
+        return pa.table(
+            {
+                "n_nationkey": pa.array(nk, pa.int64()),
+                "o_totalprice": t["o_totalprice"],
+            }
+        )
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    agg = (
+        orders.map_batches(attach_nation, batch_format="pyarrow")
+        .groupby("n_nationkey")
+        .aggregate(Sum("o_totalprice", alias_name="revenue"))
+        .to_pandas()
+    )
+    out = agg.merge(
+        nation.rename(columns={"n_nationkey": "n_nationkey", "n_name": "nation"}),
+        on="n_nationkey",
+    )[["nation", "revenue"]]
+    out["revenue"] = out["revenue"].round(4)
+    return out.sort_values("nation").reset_index(drop=True)
+
+
+def q_events_window(sf_dir: str) -> pd.DataFrame:
+    """Tumbling 1-hour window per event_type (streaming-shaped workload as a
+    batch groupby over floor(ts/1h) — ray_guide.md streaming section)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def win(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        bucket = ts.astype("int64") // 3_600_000_000 * 3_600_000_000
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "window_start": pa.array(bucket.astype("datetime64[us]")),
+                "value": t["value"],
+            }
+        )
+
+    out = (
+        ds.map_batches(win, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    out["sum_value"] = out["sum_value"].round(4)
+    out["n_events"] = out["n_events"].astype(np.int64)
+    return out.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+
+
+def q_top_users(sf_dir: str) -> pd.DataFrame:
+    """Grouped top-k: 10 highest total-value users (rank on rounded sums)."""
+    from ray.data.aggregate import Count, Sum
+
+    agg = (
+        _read(sf_dir, "events", ["user_id", "value"])
+        .groupby("user_id")
+        .aggregate(Sum("value", alias_name="total_value"), Count(alias_name="n_events"))
+        .to_pandas()
+    )
+    agg["total_value"] = agg["total_value"].round(4)
+    agg = agg.sort_values(["total_value", "user_id"], ascending=[False, True]).head(10)
+    agg["rank"] = np.arange(1, len(agg) + 1)
+    return agg[["rank", "user_id", "total_value", "n_events"]].astype(
+        {"rank": np.int64, "user_id": np.int64, "n_events": np.int64}
+    ).reset_index(drop=True)
+
+
+def q_sessionize(sf_dir: str) -> pd.DataFrame:
+    """Per-user sessionization (30-min inactivity gap) via groupby.map_groups
+    over ts-sorted groups — the stateful-stream pattern in batch form."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gaps = g["ts"].diff() > pd.Timedelta(minutes=30)
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "n_events": [len(g)],
+                "n_sessions": [int(1 + gaps.sum())],
+            }
+        )
+
+    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas").to_pandas()
+    return out.astype(
+        {"user_id": np.int64, "n_events": np.int64, "n_sessions": np.int64}
+    ).sort_values("user_id").reset_index(drop=True)
