@@ -1,0 +1,201 @@
+"""Benchmark harness (driver contract).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "build": {...docs/sec detail...}}
+
+Headline = end-to-end inverted-index build (tokenize -> shuffle -> blocked
+varbyte encode) over a deterministic synthetic web corpus (FIXTURES.md
+corpus_bench shape) + the fixed BM25 query set, at $RAY_GRAFT_CPUS cpus.
+
+``--scaling``: runs the SAME build in two fresh processes (num_cpus=8 then
+32) on the SAME pre-generated input and reports docs/s at both plus the
+scaling efficiency (sandbox stand-in for N vs 4N nodes — BASELINE.md).
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("WSE_BENCH_DOCS", "50000"))
+CORPUS_DIR = f"/tmp/wse_bench_corpus_{BENCH_DOCS}"
+
+
+def ensure_corpus() -> str:
+    marker = os.path.join(CORPUS_DIR, "_DONE")
+    if not os.path.exists(marker):
+        from wse_ray.fixtures import write_corpus_parquet
+
+        shutil.rmtree(CORPUS_DIR, ignore_errors=True)
+        write_corpus_parquet(CORPUS_DIR, BENCH_DOCS, n_files=32)
+        open(marker, "w").write("ok")
+    return CORPUS_DIR
+
+
+def run_build(corpus_dir: str, out_dir: str, num_partitions: int = 32) -> dict:
+    from wse_ray.config import BuildConfig
+    from wse_ray.index.build import build_index
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    manifest = build_index(
+        corpus_dir, out_dir, BuildConfig(num_partitions=num_partitions)
+    )
+    sec = time.perf_counter() - t0
+    n = manifest["stats"]["N"]
+    return {
+        "sec": round(sec, 3),
+        "docs": n,
+        "docs_per_sec": round(n / sec, 1),
+        "timings": manifest["timings_sec"],
+    }
+
+
+def run_queries_bench(index_dir: str) -> dict:
+    from wse_ray.fixtures import make_queries
+    from wse_ray.query.scorer import SearchEngine
+
+    t0 = time.perf_counter()
+    eng = SearchEngine(index_dir)
+    startup = time.perf_counter() - t0
+    qs = make_queries()
+    t0 = time.perf_counter()
+    n_results = 0
+    for q in qs:
+        n_results += len(eng.search(q["query"], q["mode"], q["k"]))
+    qsec = time.perf_counter() - t0
+    return {
+        "startup_sec": round(startup, 3),
+        "queries": len(qs),
+        "sec": round(qsec, 3),
+        "qps": round(len(qs) / qsec, 1),
+        "n_results": n_results,
+    }
+
+
+def main() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    # warm the worker pool (spawn + imports) so the measurement reflects a
+    # steady-state cluster, not process cold-start
+    def _warm(b):
+        import pandas  # noqa: F401
+        import pyarrow  # noqa: F401
+
+        import wse_ray.index.build  # noqa: F401
+
+        return b
+
+    ray.data.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4).map_batches(
+        _warm, batch_size=1
+    ).count()
+
+    corpus = ensure_corpus()
+    timings: dict[str, float] = {}
+
+    # headline: index build + query over the synthetic web corpus
+    build = run_build(corpus, f"/tmp/wse_bench_index_{NUM_CPUS}")
+    timings["index_build"] = build["sec"]
+    qbench = run_queries_bench(f"/tmp/wse_bench_index_{NUM_CPUS}")
+    timings["bm25_queries"] = qbench["sec"]
+
+    if os.environ.get("WSE_BENCH_BUILD_ONLY") != "1":
+        from wse_ray.pipelines import engine_queries as eq
+        from wse_ray.pipelines import relational as rel
+
+        for name, fn in [
+            ("sf_index_build_and_bm25", lambda: eq.q_bm25_disjunctive(SF_DIR)),
+            ("dedup_exact", lambda: eq.q_dedup_exact(SF_DIR)),
+            ("dedup_minhash", lambda: eq.q_dedup_minhash(SF_DIR)),
+            ("ann_topk", lambda: eq.q_ann_topk(SF_DIR)),
+            ("pricing_summary", lambda: rel.q_pricing_summary(SF_DIR)),
+            ("events_window", lambda: rel.q_events_window(SF_DIR)),
+            ("sessionize", lambda: rel.q_sessionize(SF_DIR)),
+            ("top_users", lambda: rel.q_top_users(SF_DIR)),
+        ]:
+            t0 = time.perf_counter()
+            fn()
+            timings[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "index build + BM25 query wall time (synthetic web corpus, "
+        f"{build['docs']} docs) and per-pipeline seconds over {SF_DIR}",
+        "value": round(timings["index_build"] + timings["bm25_queries"], 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "build": build,
+        "query_bench": qbench,
+    }
+    print(json.dumps(out))
+    ray.shutdown()
+
+
+def scaling() -> None:
+    # pre-generate shared input + warm page cache in this process
+    ensure_corpus()
+
+    def run(ncpu: int) -> dict:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            WSE_BENCH_BUILD_ONLY="1",
+            PYTHONPATH=REPO,
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    t_lo = r_lo["build"]["sec"]
+    t_hi = r_hi["build"]["sec"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "docs": r_lo["build"]["docs"],
+                f"sec_{lo}": t_lo,
+                f"sec_{hi}": t_hi,
+                f"docs_per_sec_{lo}": r_lo["build"]["docs_per_sec"],
+                f"docs_per_sec_{hi}": r_hi["build"]["docs_per_sec"],
+                "scaling_efficiency": round(eff, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

@@ -40,7 +40,11 @@ def test_stats_match(built, oracle):
 
 
 def test_doctable_matches(built, oracle):
-    dt = pq.read_table(os.path.join(built[0], "doctable")).sort_by("docID")
+    # the runs checkpoint IS the doctable (column-pruned read)
+    dt = pq.read_table(
+        os.path.join(built[0], "runs"),
+        columns=["docID", "url", "dataLen", "wordnums"],
+    ).sort_by("docID")
     assert dt.num_rows == oracle.N
     urls = dt["url"].to_pylist()
     datalens = dt["dataLen"].to_pylist()

@@ -90,6 +90,12 @@ def varbyte_decode(buf: bytes | np.ndarray) -> np.ndarray:
 def _chunk_payloads(docids: np.ndarray, tfs: np.ndarray, dls: np.ndarray):
     """Split postings into chunks of POSTINGS_IN_CHUNK; delta docIDs per chunk.
 
+    Vectorized: ONE varbyte_encode call per stream for the whole list (the
+    codec is per-value independent; chunk boundaries only affect which
+    deltas are absolute), then per-chunk byte slicing via reduceat — no
+    per-chunk numpy-call overhead (this loop runs once per 64 postings of
+    the entire corpus).
+
     Returns per-chunk lists: (last_docid, docid_bytes, tf_bytes, dl_bytes).
     """
     n = len(docids)
@@ -98,17 +104,30 @@ def _chunk_payloads(docids: np.ndarray, tfs: np.ndarray, dls: np.ndarray):
     deltas = np.empty(n, dtype=np.uint64)
     deltas[0] = docids[0]
     deltas[1:] = docids[1:] - docids[:-1]
-    chunk_starts = np.arange(1, n_chunks) * POSTINGS_IN_CHUNK
+    chunk_starts = np.arange(0, n, POSTINGS_IN_CHUNK)
     deltas[chunk_starts] = docids[chunk_starts]  # absolute at chunk head
-    chunks = []
-    for c in range(n_chunks):
-        lo = c * POSTINGS_IN_CHUNK
-        hi = min(lo + POSTINGS_IN_CHUNK, n)
-        d_pay, _ = varbyte_encode(deltas[lo:hi])
-        t_pay, _ = varbyte_encode(tfs[lo:hi])
-        l_pay, _ = varbyte_encode(dls[lo:hi])
-        chunks.append((int(docids[hi - 1]), d_pay, t_pay, l_pay))
-    return chunks
+
+    d_pay, d_lens = varbyte_encode(deltas)
+    t_pay, t_lens = varbyte_encode(tfs)
+    l_pay, l_lens = varbyte_encode(dls)
+
+    # per-chunk payload byte offsets
+    def _bounds(lens: np.ndarray) -> np.ndarray:
+        ends = np.concatenate(([0], np.cumsum(lens)))
+        return ends[np.concatenate((chunk_starts, [n]))]
+
+    db, tb, lb = _bounds(d_lens), _bounds(t_lens), _bounds(l_lens)
+    last_idx = np.minimum(chunk_starts + POSTINGS_IN_CHUNK - 1, n - 1)
+    dm, tm, lm = memoryview(d_pay), memoryview(t_pay), memoryview(l_pay)
+    return [
+        (
+            int(docids[last_idx[c]]),
+            dm[db[c] : db[c + 1]],
+            tm[tb[c] : tb[c + 1]],
+            lm[lb[c] : lb[c + 1]],
+        )
+        for c in range(n_chunks)
+    ]
 
 
 def _meta_bytes(n_chunks: int) -> int:

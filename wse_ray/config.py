@@ -61,7 +61,7 @@ class BuildConfig:
     # None -> auto: max(64k, 4 * n_docs / num_partitions).
     heavy_df_threshold: int | None = None
     heavy_subparts: int = 4
-    tokenize_batch_size: int = 256
+    tokenize_batch_size: int = 2048
     # "trec": reference semantics (first line = url dropped, trailing token
     #         dropped, byte-level separator set).
     # "simple": no first-line drop, trailing token flushed (used for the

@@ -60,8 +60,9 @@ def make_corpus(n_docs: int, seed: int = SEED) -> pa.Table:
     for i in range(n_docs):
         s = rng.randrange(100)
         url = f"https://site{s}.example/p/{i}"
-        # doc length log-normal-ish in [5, 800] tokens (kept modest for tests)
-        ntok = min(800, max(5, int(rng.lognormvariate(4.0, 1.0))))
+        # doc length log-normal in [50, 5000] tokens (FIXTURES.md §F1);
+        # mean ~250 tokens ≈ 1.6 kB of text per doc
+        ntok = min(5000, max(50, int(rng.lognormvariate(5.0, 1.0))))
         toks = [HEAVY_TERM]
         for _ in range(ntok):
             if rng.random() < 0.05:

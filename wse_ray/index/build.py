@@ -2,30 +2,39 @@
 
 Replaces the reference's single-threaded parse -> spill -> pairwise-merge ->
 block-encode lifecycle (hw2/main.cpp:1-32, hw2/DataLoader.cpp:239-255,
-hw3/Lexicon.cpp:221-257) with one Ray-Data-native DAG per phase:
+hw3/Lexicon.cpp:221-257) with THREE map-only Ray Data executions:
 
   1. runs      corpus read (deterministic docIDs) [-> html extract]
-               -> TokenizeDocs map_batches -> parquet checkpoint
-  2. doctable  column-pruned read of runs -> Count/Sum/Max aggregates
-               (N, avgdl uint32-truncated, max dl) -> docID-sorted parquet
-  3. heavy     per-batch partial term counts -> hash-bucket groupby ->
-               exact dfs -> heavy-hitter set (df > threshold)
-  4. parts     explode postings (Arrow list flatten) -> partition key
-               hash(term) % P, heavy terms split by docID range into
-               sub-segments -> groupby(part).map_groups encode (sort, delta,
+               -> vectorized tokenize -> each task side-writes its runs
+               parquet (atomic tmp+rename) and RETURNS only vocab-sized
+               partials: per-batch doc stats (N, sum/max dataLen) and
+               heavy-term candidates.  The driver merges them into
+               stats.json (avgdl uint32-truncated, hw3/DocTable.h:27) and
+               the heavy set.  The runs files double as the doctable
+               (columns docID,url,dataLen,wordnums) and the checkpointed
+               posting runs.
+  2. postings  read runs -> Arrow list-flatten explode -> partition key
+               route_hash(term) % P with heavy terms split by docID range
+               into sub-segments -> hive-partitioned parquet write.
+               Storage IS the shuffle: each map task appends one file per
+               partition it touches; no in-memory all-to-all.
+  3. parts     one encode task per partition: sort (term, docID), delta +
                varbyte, 64-posting chunks, <=64 KiB blocks, per-chunk BM25
-               upper bounds) -> part=K/{postings.bin, lexicon.parquet,
-               metrics.json, _SUCCESS}
+               upper bounds -> part=K/{postings.bin, lexicon.parquet,
+               metrics.json, _SUCCESS}.
 
-Each phase directory carries a ``_SUCCESS`` marker; ``build_index`` skips
-completed phases, and within phase 4 completed partitions are skipped — the
-per-partition lineage + metrics required by the north rule.  The ``runs``
-checkpoint doubles as the posting-run store: a crashed build resumes from it
-without re-tokenizing.
+Every phase directory carries ``_SUCCESS`` lineage; completed phases and
+completed partitions are skipped on resume, and the partitioned postings
+persist as resumable runs — the distributed analogue of the reference's
+spill files (hw2/InvertedIndex.cpp:109-117) minus the pairwise merge tree.
 
-Shuffle accounting (SURVEY.md §7.3): exactly one all-to-all exchange of the
-full postings stream (groupby part); the doctable aggregate and heavy-term
-detection shuffle only per-batch partials (vocab-sized, not corpus-sized).
+Heavy-hitter handling: candidates come from per-batch density partials
+(pigeonhole: global df > T implies density > T/N in some batch, filtered at
+T/(2N) for margin).  The heavy set only affects ROUTING (which terms get
+docID-range split), never correctness: the query engine computes each
+term's exact global df by summing per-segment dfs at lexicon load, and
+per-chunk score bounds computed with a segment-local df remain true upper
+bounds (idf is decreasing in df).
 """
 from __future__ import annotations
 
@@ -33,6 +42,7 @@ import json
 import os
 import shutil
 import time
+import uuid
 from dataclasses import asdict
 from functools import partial
 from typing import Callable
@@ -42,7 +52,6 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import ray.data
-from ray.data.aggregate import Count, Max, Sum
 
 from ..codec import count_blocks, encode_posting_list
 from ..config import BM25_B, BM25_K1, POSTINGS_IN_CHUNK, BuildConfig
@@ -50,20 +59,26 @@ from ..stages.extract import ExtractText
 from ..stages.tokenize_stage import TokenizeDocs, explode_postings
 from ..sources.corpus import read_corpus
 
-_HASH_BUCKETS = 4096
-
 LEXICON_SCHEMA = pa.schema(
     [
         ("term", pa.large_binary()),
-        ("seg_seq", pa.uint32()),
         ("df_seg", pa.uint64()),
-        ("df_global", pa.uint64()),
         ("first_docid", pa.uint64()),
         ("last_docid", pa.uint64()),
         ("offset", pa.uint64()),
         ("length", pa.uint64()),
         ("n_chunks", pa.uint32()),
         ("n_blocks", pa.uint32()),
+    ]
+)
+
+PARTIAL_SCHEMA = pa.schema(
+    [
+        ("n", pa.int64()),
+        ("sum_dl", pa.int64()),
+        ("max_dl", pa.int64()),
+        ("term", pa.large_binary()),
+        ("df", pa.int64()),
     ]
 )
 
@@ -77,68 +92,128 @@ def _mark(path: str) -> None:
         f.write("ok\n")
 
 
-def term_hash(terms) -> np.ndarray:
-    """Deterministic 64-bit hash of term byte strings (stable across
-    processes/machines — never python hash())."""
-    arr = np.asarray(terms, dtype=object)
-    return pd.util.hash_array(arr, categorize=False)
-
-
 # --------------------------------------------------------------------------
-# phase 3: exact heavy-term detection from vocab-sized partials
+# phase 1: tokenize + side-write runs + vocab-sized partials
 # --------------------------------------------------------------------------
 
 
-def _partial_term_counts(batch: pa.Table) -> pa.Table:
-    import pyarrow.compute as pc
+class TokenizeWriteRuns:
+    """map_batches fn: tokenize a batch, side-write the runs file, return
+    only per-batch partials (doc stats + heavy candidates).
 
-    flat = pc.list_flatten(batch["terms"].combine_chunks())
-    terms = flat.to_numpy(zero_copy_only=False)
-    s = pd.Series(terms).value_counts()
-    uniq = np.asarray(s.index, dtype=object)
-    return pa.table(
-        {
-            "th": pa.array(term_hash(uniq) % _HASH_BUCKETS, pa.uint32()),
-            "term": pa.array(list(uniq), pa.large_binary()),
-            "df": pa.array(s.to_numpy(dtype=np.uint64), pa.uint64()),
-        }
+    Side-writing keeps the whole phase ONE streaming execution: the heavy
+    row data goes straight to storage while the tiny metadata flows back
+    through the Dataset.  Writes are atomic (tmp + rename).
+    """
+
+    def __init__(self, runs_dir: str, mode: str, heavy_threshold: int, approx_docs: int):
+        self.runs_dir = runs_dir
+        self.tokenize = TokenizeDocs(mode)
+        self.threshold = heavy_threshold
+        self.approx_docs = max(1, approx_docs)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        runs = self.tokenize(batch)
+        fname = os.path.join(self.runs_dir, f"run-{uuid.uuid4().hex}.parquet")
+        pq.write_table(runs, fname + ".tmp")
+        os.rename(fname + ".tmp", fname)
+
+        dl = runs["dataLen"].to_numpy()
+        # heavy candidates: per-batch density filter with 2x margin
+        flat = pc.list_flatten(runs["terms"].combine_chunks())
+        vc = pc.value_counts(flat)
+        counts = vc.field("counts").to_numpy()
+        cutoff = max(1.0, self.threshold * len(dl) / (2.0 * self.approx_docs))
+        keep = np.flatnonzero(counts >= cutoff)
+        cand_terms = vc.field("values").take(pa.array(keep)).cast(pa.large_binary())
+        n_cand = len(keep)
+        return pa.table(
+            {
+                "n": pa.array([len(dl)] + [0] * n_cand, pa.int64()),
+                "sum_dl": pa.array([int(dl.sum()) if len(dl) else 0] + [0] * n_cand, pa.int64()),
+                "max_dl": pa.array([int(dl.max()) if len(dl) else 0] + [0] * n_cand, pa.int64()),
+                "term": pa.concat_arrays([pa.array([None], pa.large_binary()), cand_terms]),
+                "df": pa.concat_arrays(
+                    [
+                        pa.array([0], pa.int64()),
+                        pa.array(counts[keep].astype(np.int64), pa.int64()),
+                    ]
+                ),
+            }
+        )
+
+
+# --------------------------------------------------------------------------
+# phase 2: partition assignment (vectorized)
+# --------------------------------------------------------------------------
+
+
+def _binary_route_hash(col: pa.Array) -> np.ndarray:
+    """Vectorized deterministic 64-bit routing hash of a large_binary array,
+    computed straight from the Arrow buffers (no per-row python objects).
+
+    Mixes length, first 8 bytes and last 4 bytes — NOT an identity hash;
+    only used to spread terms across shuffle partitions (a collision just
+    co-locates two terms, which is harmless).
+    """
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    buffers = col.buffers()
+    offsets = np.frombuffer(
+        buffers[1], dtype=np.int64, count=len(col) + 1, offset=col.offset * 8
     )
-
-
-def _sum_filter_heavy(g: pd.DataFrame, threshold: int) -> pd.DataFrame:
-    sums = g.groupby("term", sort=False)["df"].sum()
-    heavy = sums[sums > threshold]
-    return pd.DataFrame({"term": heavy.index, "df": heavy.to_numpy(np.uint64)})
-
-
-# --------------------------------------------------------------------------
-# phase 4: partition assignment + per-partition encode
-# --------------------------------------------------------------------------
+    data = np.frombuffer(buffers[2], dtype=np.uint8) if buffers[2] is not None else np.zeros(0, np.uint8)
+    starts = offsets[:-1]
+    lens = (offsets[1:] - starts).astype(np.uint64)
+    h = lens * np.uint64(0xC2B2AE3D27D4EB4F)
+    n = len(starts)
+    for j in range(8):
+        mask = lens > j
+        byte = np.zeros(n, dtype=np.uint64)
+        byte[mask] = data[starts[mask] + j]
+        h = (h ^ (byte << np.uint64(8 * (j % 8)))) * np.uint64(0x9E3779B97F4A7C15)
+    for j in range(4):  # last bytes disambiguate shared prefixes
+        mask = lens > j
+        byte = np.zeros(n, dtype=np.uint64)
+        byte[mask] = data[offsets[1:][mask] - 1 - j]
+        h ^= byte << np.uint64(8 * j + 16)
+    return h
 
 
 class AssignPart:
-    """Adds the shuffle key.  Normal terms: hash(term) % P.  Heavy terms are
-    split by docID range into ``subparts`` segments with their own partition
-    ids (explicit skew handling, SURVEY.md §4.2.2)."""
+    """Adds the shuffle key.  Normal terms: route_hash(term) % P.  Heavy
+    terms are split by docID range into ``subparts`` segments with their own
+    partition ids (explicit skew handling, SURVEY.md §4.2.2).  Fully
+    vectorized: buffer hash + Arrow index_in for the heavy lookup."""
 
-    def __init__(self, P: int, subparts: int, heavy_rank: dict[bytes, int], n_docs: int):
+    def __init__(self, P: int, subparts: int, heavy_terms: list[bytes], n_docs: int):
         self.P = P
         self.S = subparts
-        self.heavy_rank = heavy_rank
+        self.heavy_terms = sorted(heavy_terms)
         self.N = max(1, n_docs)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        terms = batch["term"].to_numpy(zero_copy_only=False)
-        part = (term_hash(terms) % self.P).astype(np.int64)
-        if self.heavy_rank:
-            ranks = pd.Series(terms).map(self.heavy_rank)
-            hmask = ranks.notna().to_numpy()
+        import pyarrow.compute as pc
+
+        term_col = batch["term"].combine_chunks()
+        part = (_binary_route_hash(term_col) % np.uint64(self.P)).astype(np.int64)
+        if self.heavy_terms:
+            ranks = pc.index_in(
+                term_col, value_set=pa.array(self.heavy_terms, pa.large_binary())
+            ).to_numpy(zero_copy_only=False)
+            hmask = ~np.isnan(ranks.astype(np.float64))
             if hmask.any():
                 docids = batch["docID"].to_numpy().astype(np.uint64)
                 sub = (docids[hmask] * self.S) // self.N
                 sub = np.minimum(sub, self.S - 1).astype(np.int64)
-                part[hmask] = self.P + ranks.to_numpy()[hmask].astype(np.int64) * self.S + sub
+                part[hmask] = self.P + ranks[hmask].astype(np.int64) * self.S + sub
         return batch.append_column("part", pa.array(part, pa.int64()))
+
+
+# --------------------------------------------------------------------------
+# phase 3: per-partition encode
+# --------------------------------------------------------------------------
 
 
 def _metrics_row(part: int, part_dir: str, cached: bool = False) -> pa.Table:
@@ -156,61 +231,76 @@ def _metrics_row(part: int, part_dir: str, cached: bool = False) -> pa.Table:
     )
 
 
-def encode_partition(
-    group: pa.Table, out_dir: str, stats: dict, heavy_df: dict[bytes, int]
-) -> pa.Table:
-    """map_groups fn: one shuffle partition -> encoded segment on disk.
+def _encode_part_task(spec: pa.Table, out_dir: str, stats: dict) -> pa.Table:
+    """Read one storage-shuffle partition dir and encode it."""
+    src = spec["src"][0].as_py()
+    part = int(spec["part"][0].as_py())
+    part_dir = os.path.join(out_dir, "parts", f"part={part:05d}")
+    if _done(part_dir):  # resume: partition already encoded
+        return _metrics_row(part, part_dir, cached=True)
+    group = pq.read_table(src, columns=["term", "docID", "tf", "dl"])
+    return encode_partition(group, part, out_dir, stats)
+
+
+def encode_partition(group: pa.Table, part: int, out_dir: str, stats: dict) -> pa.Table:
+    """One partition's posting rows -> encoded segment on disk.
 
     Sorts by (term, docID) — the reference's std::map order + docID-ascending
     stream invariant (hw2/InvertedIndex.h:8, hw2/DataLoader.cpp:81-116) made
     explicit — then encodes each term's postings into the blocked format and
     writes the partition directory atomically (tmp dir + rename, resumable).
+
+    The per-chunk BM25 upper bound uses the SEGMENT-local df: idf decreases
+    in df and segment df <= global df, so the bound stays a true upper bound
+    for block-max pruning (just looser on split heavy terms).
     """
     t0 = time.perf_counter()
     N, avgdl = stats["N"], stats["avgdl"]
-    part = int(group["part"][0].as_py())
     part_dir = os.path.join(out_dir, "parts", f"part={part:05d}")
-    if _done(part_dir):  # resume: partition already encoded
+    if _done(part_dir):
         return _metrics_row(part, part_dir, cached=True)
 
+    import pyarrow.compute as pc
+
     group = group.sort_by([("term", "ascending"), ("docID", "ascending")])
-    terms = group["term"].to_numpy(zero_copy_only=False)
+    term_col = group["term"].combine_chunks()
     docids = group["docID"].to_numpy().astype(np.uint64)
     tfs = group["tf"].to_numpy().astype(np.uint64)
     dls = group["dl"].to_numpy().astype(np.uint64)
-    n = len(terms)
+    n = len(docids)
 
-    starts = np.flatnonzero(np.concatenate(([True], terms[1:] != terms[:-1])))
+    # C-speed run-length boundaries (no per-row python byte objects)
+    enc = pc.dictionary_encode(term_col)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy()
+    starts = np.flatnonzero(np.concatenate(([True], codes[1:] != codes[:-1])))
     ends = np.concatenate((starts[1:], [n]))
 
     k1, b = BM25_K1, BM25_B
     payload = bytearray()
     lex_rows = {k: [] for k in (
-        "term", "seg_seq", "df_seg", "df_global", "first_docid",
-        "last_docid", "offset", "length", "n_chunks", "n_blocks",
+        "term", "df_seg", "first_docid", "last_docid",
+        "offset", "length", "n_chunks", "n_blocks",
     )}
     for s, e in zip(starts, ends):
-        term = terms[s]
         seg_df = e - s
-        df_global = heavy_df.get(term, seg_df)
         d, f, l = docids[s:e], tfs[s:e], dls[s:e]
-        # exact per-posting BM25 -> per-chunk upper bound (block-max)
-        idf = np.log((N - float(df_global) + 0.5) / (float(df_global) + 0.5))
+        # exact per-posting BM25 with segment df -> per-chunk upper bound
+        idf = np.log((N - float(seg_df) + 0.5) / (float(seg_df) + 0.5))
         K = k1 * ((1 - b) + b * l.astype(np.float64) / avgdl)
         scores = idf * (k1 + 1) * f.astype(np.float64) / (K + f.astype(np.float64))
         chunk_ubs = np.maximum.reduceat(
             scores, np.arange(0, len(scores), POSTINGS_IN_CHUNK)
         ).astype(np.float32)
         buf = encode_posting_list(d, f, l, chunk_ubs=chunk_ubs)
-        lex_rows["term"].append(term)
-        lex_rows["seg_seq"].append(0)  # ordered by first_docid at load
+        lex_rows["term"].append(term_col[int(s)].as_py())
         lex_rows["df_seg"].append(int(seg_df))
-        lex_rows["df_global"].append(int(df_global))
         lex_rows["first_docid"].append(int(d[0]))
         lex_rows["last_docid"].append(int(d[-1]))
         lex_rows["offset"].append(len(payload))
         lex_rows["length"].append(len(buf))
-        lex_rows["n_chunks"].append((seg_df + POSTINGS_IN_CHUNK - 1) // POSTINGS_IN_CHUNK)
+        lex_rows["n_chunks"].append((int(seg_df) + POSTINGS_IN_CHUNK - 1) // POSTINGS_IN_CHUNK)
         lex_rows["n_blocks"].append(count_blocks(buf))
         payload += buf
 
@@ -255,8 +345,10 @@ def build_index(
     with deterministic docID enumeration — or a zero-arg callable returning a
     Dataset with (docID, url, text) already attached.
     ``from_html=True`` reproduces text from the html column through the
-    extraction stage instead of trusting the text column (slower; the two are
+    extraction stage instead of trusting the text column (the two are
     byte-identical per the BASELINE.json invariant, which pytest pins).
+    ``out_dir`` must be shared storage on a multi-node cluster (it is the
+    shuffle medium and the checkpoint store).
     """
     cfg = cfg or BuildConfig()
     os.makedirs(out_dir, exist_ok=True)
@@ -271,92 +363,91 @@ def build_index(
             ds = ds.map_batches(ExtractText(), batch_format="pyarrow")
         return ds
 
-    # ---- phase 1: tokenize -> runs checkpoint -----------------------------
+    # rough doc count for the heavy-candidate density cutoff (exactness not
+    # required — see module docstring); parquet footers are free to read
+    if callable(corpus):
+        approx_docs = 0  # unknown -> cutoff falls back to >=1 (full partials)
+    else:
+        from ..sources.corpus import list_corpus_files, rowgroup_specs
+
+        approx_docs = sum(s["rows"] for s in rowgroup_specs(list_corpus_files(corpus)))
+
+    threshold = cfg.heavy_df_threshold
+    if threshold is None:
+        threshold = max(65536, (4 * max(1, approx_docs)) // max(1, cfg.num_partitions))
+
+    # ---- phase 1: tokenize -> runs + stats + heavy candidates -------------
     runs_dir = os.path.join(out_dir, "runs")
+    stats_path = os.path.join(out_dir, "stats.json")
+    heavy_path = os.path.join(out_dir, "heavy.parquet")
     if not _done(runs_dir):
         t0 = time.perf_counter()
         shutil.rmtree(runs_dir, ignore_errors=True)
+        os.makedirs(runs_dir, exist_ok=True)
         ds = make_ds().map_batches(
-            TokenizeDocs(cfg.tokenizer_mode),
+            TokenizeWriteRuns(runs_dir, cfg.tokenizer_mode, threshold, approx_docs),
             batch_format="pyarrow",
             batch_size=cfg.tokenize_batch_size,
         )
-        ds.write_parquet(runs_dir)
-        _mark(runs_dir)
-        timings["runs"] = time.perf_counter() - t0
-
-    # ---- phase 2: doctable + global stats ---------------------------------
-    doctable_dir = os.path.join(out_dir, "doctable")
-    stats_path = os.path.join(out_dir, "stats.json")
-    if not _done(doctable_dir):
-        t0 = time.perf_counter()
-        shutil.rmtree(doctable_dir, ignore_errors=True)
-        dt = ray.data.read_parquet(
-            runs_dir, columns=["docID", "url", "dataLen", "wordnums"]
-        )
-        agg = dt.aggregate(Count(), Sum("dataLen"), Max("dataLen"))
-        n_docs = int(agg["count()"])
-        total_dl = int(agg["sum(dataLen)"])
+        partials = ds.to_pandas()
+        n_docs = int(partials["n"].sum())
+        total_dl = int(partials["sum_dl"].sum())
         stats = {
             "N": n_docs,
             "total_dl": total_dl,
             # double -> uint32 truncation, hw3/DocTable.cpp:57-65 + DocTable.h:27
             "avgdl": int(total_dl / n_docs) if n_docs else 0,
-            "max_dl": int(agg["max(dataLen)"] or 0),
+            "max_dl": int(partials["max_dl"].max()) if len(partials) else 0,
         }
-        dt.sort("docID").write_parquet(doctable_dir)
+        cand = partials[partials["term"].notna()]
+        sums = cand.groupby("term")["df"].sum() if len(cand) else pd.Series(dtype=np.int64)
+        heavy = sums[sums > threshold // 2]  # margin: partials undercount
+        heavy_tbl = pa.table(
+            {
+                "term": pa.array(list(heavy.index), pa.large_binary()),
+                "df_approx": pa.array(heavy.to_numpy(np.int64), pa.int64()),
+            }
+        )
         with open(stats_path, "w") as f:
             json.dump(stats, f)
-        _mark(doctable_dir)
-        timings["doctable"] = time.perf_counter() - t0
+        pq.write_table(heavy_tbl, heavy_path)
+        _mark(runs_dir)
+        timings["runs"] = time.perf_counter() - t0
     with open(stats_path) as f:
         stats = json.load(f)
+    heavy_terms = pq.read_table(heavy_path)["term"].to_pylist()
 
-    # ---- phase 3: exact heavy-hitter dfs ----------------------------------
-    heavy_dir = os.path.join(out_dir, "heavy")
-    threshold = cfg.heavy_df_threshold
-    if threshold is None:
-        threshold = max(65536, (4 * stats["N"]) // max(1, cfg.num_partitions))
-    if not _done(heavy_dir):
+    # ---- phase 2: postings exchange via partitioned storage ---------------
+    postings_dir = os.path.join(out_dir, "postings")
+    if not _done(postings_dir):
         t0 = time.perf_counter()
-        shutil.rmtree(heavy_dir, ignore_errors=True)
-        os.makedirs(heavy_dir, exist_ok=True)
-        partials = ray.data.read_parquet(runs_dir, columns=["terms"]).map_batches(
-            _partial_term_counts, batch_format="pyarrow"
-        )
-        heavy_ds = partials.groupby("th").map_groups(
-            partial(_sum_filter_heavy, threshold=threshold), batch_format="pandas"
-        )
-        heavy_pdf = heavy_ds.to_pandas()
-        heavy_schema = pa.schema([("term", pa.large_binary()), ("df", pa.uint64())])
-        if len(heavy_pdf) == 0:  # no heavy hitters at this threshold
-            heavy_tbl = heavy_schema.empty_table()
-        else:
-            heavy_tbl = pa.Table.from_pandas(
-                heavy_pdf, schema=heavy_schema, preserve_index=False
-            )
-        pq.write_table(heavy_tbl, os.path.join(heavy_dir, "heavy.parquet"))
-        _mark(heavy_dir)
-        timings["heavy"] = time.perf_counter() - t0
-    heavy_tbl = pq.read_table(os.path.join(heavy_dir, "heavy.parquet"))
-    heavy_terms = heavy_tbl["term"].to_pylist()
-    heavy_df = dict(zip(heavy_terms, heavy_tbl["df"].to_pylist()))
-    heavy_rank = {t: i for i, t in enumerate(sorted(heavy_terms))}
-
-    # ---- phase 4: postings shuffle + encode -------------------------------
-    parts_root = os.path.join(out_dir, "parts")
-    if not _done(parts_root):
-        t0 = time.perf_counter()
-        os.makedirs(parts_root, exist_ok=True)
+        shutil.rmtree(postings_dir, ignore_errors=True)
         posts = ray.data.read_parquet(
             runs_dir, columns=["docID", "dataLen", "terms", "tfs"]
         ).map_batches(explode_postings, batch_format="pyarrow")
         posts = posts.map_batches(
-            AssignPart(cfg.num_partitions, cfg.heavy_subparts, heavy_rank, stats["N"]),
+            AssignPart(cfg.num_partitions, cfg.heavy_subparts, heavy_terms, stats["N"]),
             batch_format="pyarrow",
         )
-        enc = posts.groupby("part").map_groups(
-            partial(encode_partition, out_dir=out_dir, stats=stats, heavy_df=heavy_df),
+        posts.write_parquet(postings_dir, partition_cols=["part"])
+        _mark(postings_dir)
+        timings["postings"] = time.perf_counter() - t0
+
+    # ---- phase 3: per-partition encode ------------------------------------
+    parts_root = os.path.join(out_dir, "parts")
+    if not _done(parts_root):
+        t0 = time.perf_counter()
+        os.makedirs(parts_root, exist_ok=True)
+        import glob as _glob
+
+        part_dirs = sorted(_glob.glob(os.path.join(postings_dir, "part=*")))
+        specs = [
+            {"src": d, "part": int(os.path.basename(d).split("=")[1])}
+            for d in part_dirs
+        ]
+        enc = ray.data.from_items(specs).map_batches(
+            partial(_encode_part_task, out_dir=out_dir, stats=stats),
+            batch_size=1,
             batch_format="pyarrow",
         )
         metrics = enc.to_pandas()  # tiny: one row per partition
@@ -369,10 +460,10 @@ def build_index(
     manifest = {
         "config": asdict(cfg),
         "stats": stats,
-        "heavy_terms": len(heavy_df),
+        "heavy_terms": len(heavy_terms),
         "heavy_df_threshold": threshold,
         "timings_sec": {k: round(v, 3) for k, v in timings.items()},
-        "format_version": 1,
+        "format_version": 2,
     }
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1)

@@ -170,14 +170,14 @@ def q_lexicon_stats(sf_dir: str) -> pd.DataFrame:
     out = pd.DataFrame(
         {
             "term": [t.decode("utf-8") for t in lex["term"]],
-            "df": lex["df_global"].astype(np.int64),
+            "df": lex["df_seg"].astype(np.int64),
             "n_chunks": lex["n_chunks"].astype(np.int64),
         }
     )
-    # heavy terms appear once per segment; aggregate chunks, keep global df
+    # heavy terms appear once per segment; global df = sum of segment dfs
     out = (
         out.groupby("term", as_index=False)
-        .agg(df=("df", "max"), n_chunks=("n_chunks", "sum"))
+        .agg(df=("df", "sum"), n_chunks=("n_chunks", "sum"))
         .astype({"df": np.int64, "n_chunks": np.int64})
     )
     return out.sort_values("term").reset_index(drop=True)

@@ -62,7 +62,9 @@ class SearchEngine:
             )
         lex = pa.concat_tables(frames)
         # term -> list of segments ordered by first_docid (heavy terms span
-        # several docID-range segments; ranges are disjoint by construction)
+        # several docID-range segments; ranges are disjoint by construction).
+        # The GLOBAL df is the sum of segment dfs — exact by construction,
+        # no separate global-df pass needed at build time.
         self._segments: dict[bytes, list[dict]] = {}
         self._df: dict[bytes, int] = {}
         cols = {c: lex[c].to_pylist() for c in lex.column_names}
@@ -72,12 +74,13 @@ class SearchEngine:
                 "part", "offset", "length", "first_docid", "last_docid", "df_seg"
             )}
             self._segments.setdefault(term, []).append(seg)
-            self._df[term] = cols["df_global"][i]
+            self._df[term] = self._df.get(term, 0) + cols["df_seg"][i]
         for segs in self._segments.values():
             segs.sort(key=lambda s: s["first_docid"])
 
+        # the runs checkpoint doubles as the doctable (SURVEY.md S6)
         dt = pq.read_table(
-            os.path.join(index_dir, "doctable"),
+            os.path.join(index_dir, "runs"),
             columns=["docID", "url"],
         ).sort_by("docID")
         self._doc_ids = dt["docID"].to_numpy()
