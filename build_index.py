@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""CLI: build a partitioned inverted index from a web-page parquet corpus.
+
+    python build_index.py --corpus DIR --out DIR [--partitions 32]
+        [--from-html] [--tokenizer trec|simple] [--num-cpus N]
+
+Designed for ``ray job submit`` on a cluster (out dir must be shared
+storage); runs standalone locally.  Resumable: re-running skips completed
+phases and partitions.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--corpus", required=True, help="parquet file/dir of web pages")
+    ap.add_argument("--out", required=True, help="index output directory")
+    ap.add_argument("--partitions", type=int, default=32)
+    ap.add_argument("--heavy-threshold", type=int, default=None)
+    ap.add_argument("--heavy-subparts", type=int, default=4)
+    ap.add_argument("--from-html", action="store_true",
+                    help="re-extract text from the html column")
+    ap.add_argument("--tokenizer", choices=["trec", "simple"], default="trec")
+    ap.add_argument("--num-cpus", type=int, default=None)
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from wse_ray.config import BuildConfig
+    from wse_ray.index.build import build_index
+
+    manifest = build_index(
+        args.corpus,
+        args.out,
+        BuildConfig(
+            num_partitions=args.partitions,
+            heavy_df_threshold=args.heavy_threshold,
+            heavy_subparts=args.heavy_subparts,
+            tokenizer_mode=args.tokenizer,
+        ),
+        from_html=args.from_html,
+    )
+    print(json.dumps(manifest, indent=1))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -154,13 +154,126 @@ class SearchEngine:
     # --- search --------------------------------------------------------------
 
     def search(self, query: str, mode: str = "disjunctive", k: int = RESULT_NUM):
-        """Returns [(docID, score)] ranked by (score desc, docID asc)."""
+        """Returns [(docID, score)] ranked by (score desc, docID asc).
+
+        Modes: "disjunctive" (exhaustive TAAT), "disjunctive_pruned"
+        (MaxScore over the per-chunk block-max metadata — identical results,
+        skips decoding whole posting lists of low-impact terms), and
+        "conjunctive" (soft conjunction)."""
         words = tokenize_query(query)
         if not words:
             return []
         if mode == "disjunctive":
             return self._disjunctive(words, k)
+        if mode == "disjunctive_pruned":
+            return self._disjunctive_pruned(words, k)
         return self._conjunctive(words, k)
+
+    def term_upper_bound(self, term: bytes) -> float:
+        """Max possible BM25 contribution of one occurrence of ``term``,
+        from the per-chunk upper bounds stored in the index blocks
+        (the block-max metadata; valid even for split heavy terms — see
+        index/build.py encode_partition docstring)."""
+        from ..codec import read_chunk_meta
+
+        segs = self._segments.get(term)
+        if not segs:
+            return 0.0
+        ub = -math.inf
+        for seg in segs:
+            _, ubs = read_chunk_meta(self._read_segment(seg))
+            if len(ubs):
+                ub = max(ub, float(ubs.max()))
+        return ub if ub > -math.inf else 0.0
+
+    def _disjunctive_pruned(self, words: list[bytes], k: int):
+        """MaxScore TAAT: terms are processed in descending upper-bound
+        order; once the remaining terms' summed upper bounds cannot lift a
+        NEW document into the top-k (threshold includes the zero-score
+        padding pool, cpp :378 semantics), those terms are scored only for
+        existing candidates via chunk-skipped lookups.  Produces results
+        IDENTICAL to the exhaustive TAAT mode (tested)."""
+        uniq = sorted(set(words), key=lambda t: -self.term_upper_bound(t))
+        ubs = np.array(
+            [self.term_upper_bound(t) * words.count(t) for t in uniq], dtype=np.float64
+        )
+        suffix = np.concatenate((np.cumsum(ubs[::-1])[::-1][1:], [0.0]))
+        # SAFE pruning floor: the final k-th best score is >= 0 whenever at
+        # least k docs end with score exactly 0 (the dense-array zero pool,
+        # cpp :378) — statically guaranteed when N - sum(df) >= k.  Candidate
+        # scores may DROP from negative-idf pruned terms, so the running
+        # k-th candidate score is NOT a sound threshold; the zero floor is.
+        # A doc reachable only through the remaining terms tops out at their
+        # summed upper bounds; strictly below the floor -> skip decoding
+        # those lists entirely (this prunes exactly the negative-idf common
+        # terms whose posting lists are the long ones).
+        zero_pool_ok = (self.N - sum(self.df(t) for t in uniq)) >= k
+        theta = 0.0 if zero_pool_ok else -math.inf
+        prune_from = len(uniq)
+        for i in range(1, len(uniq)):
+            if ubs[i] + suffix[i] < theta:
+                prune_from = i
+                break
+        processed = set(uniq[:prune_from])
+        pruned = [(t, words.count(t)) for t in uniq[prune_from:]]
+
+        # decode processed terms fully; candidates = union of their postings
+        plists: dict[bytes, tuple] = {}
+        ids_all = np.zeros(0, dtype=np.uint64)
+        for term in processed:
+            d, t_, l = self.postings(term)
+            plists[term] = (d, t_, l)
+            ids_all = np.union1d(ids_all, d) if len(ids_all) else d.copy()
+        # pruned terms: chunk-skipped candidate lookups only
+        if len(ids_all):
+            lo, hi = int(ids_all[0]), int(ids_all[-1])
+            for term, _m in pruned:
+                d, t_, l = self.postings(term, min_docid=lo, max_docid=hi)
+                plists[term] = (d, t_, l)
+
+        # accumulate IN QUERY OCCURRENCE ORDER for bit-exact float parity
+        # with the exhaustive TAAT loop (per-doc addition order = term order)
+        scores_all = np.zeros(len(ids_all), dtype=np.float64)
+        for term in words:
+            d, t_, l = plists.get(term, (np.zeros(0, np.uint64),) * 3)
+            if len(d) == 0 or len(ids_all) == 0:
+                continue
+            pos = np.searchsorted(ids_all, d)
+            pos_c = np.minimum(pos, max(0, len(ids_all) - 1))
+            hit = ids_all[pos_c] == d
+            s = self.bm25_vec(self.df(term), t_[hit], l[hit])
+            scores_all[pos_c[hit]] += s
+        top_matched = self._topk(ids_all, scores_all, k)
+        if len(top_matched) < k or (top_matched and top_matched[-1][1] <= 0.0):
+            # the zero-padding pool must exclude docs matched by ANY term
+            # with a nonzero contribution — decode pruned terms only over
+            # the low-docID window needed for padding (chunk-skipped); a
+            # pruned term with idf exactly 0 contributes exactly 0.0 and its
+            # docs stay eligible as padding (tie value + docID break match)
+            pad = self._padding_docs(ids_all, pruned, k)
+            merged = top_matched + [(int(p), 0.0) for p in pad]
+            merged.sort(key=lambda r: (-r[1], r[0]))
+            return merged[: min(k, self.N)]
+        return top_matched
+
+    def _padding_docs(self, ids_all: np.ndarray, pruned, k: int) -> np.ndarray:
+        window = 4 * k + 64
+        nonzero_pruned = [
+            t for t, _m in pruned
+            if self.df(t) > 0
+            and math.log((self.N - float(self.df(t)) + 0.5) / (float(self.df(t)) + 0.5)) != 0.0
+        ]
+        while True:
+            exclude = [np.sort(ids_all)]
+            for term in nonzero_pruned:
+                d, _t, _l = self.postings(term, min_docid=0, max_docid=window)
+                exclude.append(d[d <= window])
+            matched = np.unique(np.concatenate(exclude))
+            pad = _first_missing(matched, self.N, k)
+            pad = pad[pad <= window]  # beyond the window, match status unknown
+            if len(pad) >= k or window >= self.N:
+                return pad[:k]
+            window *= 4
 
     def _topk(self, doc_ids: np.ndarray, scores: np.ndarray, k: int):
         if len(doc_ids) == 0:
