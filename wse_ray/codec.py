@@ -207,6 +207,50 @@ def _walk_blocks(buf: memoryview):
         pos += int(dsz.sum()) + int(tsz.sum()) + int(lsz.sum())
 
 
+def _gather(data: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.uint8)
+    cum = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    idx = np.repeat(starts - cum, lens) + np.arange(total, dtype=np.int64)
+    return data[idx]
+
+
+def _decode_full(mv: memoryview) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized full-segment decode: ONE gather + ONE varbyte_decode per
+    stream across all chunks/blocks, then a segmented cumsum restores
+    absolute docIDs (chunk-leading deltas are absolute, so
+    abs = cumsum(deltas) rebased at every chunk start).  Relies on the
+    encoder's invariant that every chunk except the segment's last holds
+    exactly POSTINGS_IN_CHUNK postings."""
+    data = np.frombuffer(mv, dtype=np.uint8)
+    d_starts, d_lens = [], []
+    t_starts, t_lens = [], []
+    l_starts, l_lens = [], []
+    for _last, dsz, tsz, lsz, _ubs, pay in _walk_blocks(mv):
+        tot = (dsz + tsz + lsz).astype(np.int64)
+        off = pay + np.concatenate(([0], np.cumsum(tot)[:-1]))
+        d_starts.append(off)
+        d_lens.append(dsz.astype(np.int64))
+        t_starts.append(off + dsz)
+        t_lens.append(tsz.astype(np.int64))
+        l_starts.append(off + dsz + tsz)
+        l_lens.append(lsz.astype(np.int64))
+    d_buf = _gather(data, np.concatenate(d_starts), np.concatenate(d_lens))
+    t_buf = _gather(data, np.concatenate(t_starts), np.concatenate(t_lens))
+    l_buf = _gather(data, np.concatenate(l_starts), np.concatenate(l_lens))
+    deltas = varbyte_decode(d_buf)
+    tfs = varbyte_decode(t_buf)
+    dls = varbyte_decode(l_buf)
+    n = len(deltas)
+    csum = np.cumsum(deltas)
+    chunk_starts = np.arange(0, n, POSTINGS_IN_CHUNK)
+    sizes = np.diff(np.concatenate((chunk_starts, [n])))
+    rebase = np.repeat(csum[chunk_starts] - deltas[chunk_starts], sizes)
+    docids = (csum - rebase).astype(np.uint64)
+    return docids, tfs, dls
+
+
 def decode_posting_list(
     buf: bytes | memoryview,
     min_docid: int | None = None,
@@ -220,6 +264,8 @@ def decode_posting_list(
     skipping (hw3/DataLoader.cpp:793,810-816).  Skipping is conservative:
     decoded output may still contain docIDs outside the range.
     """
+    if min_docid is None and max_docid is None:
+        return _decode_full(memoryview(buf))
     mv = memoryview(buf)
     d_parts, t_parts, l_parts = [], [], []
     prev_block_last = -1

@@ -117,7 +117,7 @@ class TokenizeWriteRuns:
 
         runs = self.tokenize(batch)
         fname = os.path.join(self.runs_dir, f"run-{uuid.uuid4().hex}.parquet")
-        pq.write_table(runs, fname + ".tmp")
+        pq.write_table(runs, fname + ".tmp", compression="zstd")
         os.rename(fname + ".tmp", fname)
 
         dl = runs["dataLen"].to_numpy()
@@ -429,7 +429,14 @@ def build_index(
             AssignPart(cfg.num_partitions, cfg.heavy_subparts, heavy_terms, stats["N"]),
             batch_format="pyarrow",
         )
-        posts.write_parquet(postings_dir, partition_cols=["part"])
+        # zstd: the exchange is disk-bandwidth-bound on slow storage; trading
+        # CPU for bytes keeps the storage shuffle scalable (and the postings
+        # stream compresses extremely well: sorted docIDs, repeated terms)
+        posts.write_parquet(
+            postings_dir,
+            partition_cols=["part"],
+            compression="zstd",
+        )
         _mark(postings_dir)
         timings["postings"] = time.perf_counter() - t0
 

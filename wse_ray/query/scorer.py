@@ -87,10 +87,17 @@ class SearchEngine:
         self._urls = dt["url"]
 
         self._fh: dict[int, object] = {}
+        self._seg_cache: dict[tuple, bytes] = {}
 
     # --- plumbing ------------------------------------------------------------
 
+    _SEG_CACHE_MAX = 1024  # segments; raw bytes only (decoded arrays are not cached)
+
     def _read_segment(self, seg: dict) -> bytes:
+        key = (seg["part"], seg["offset"])
+        cached = self._seg_cache.get(key)
+        if cached is not None:
+            return cached
         fh = self._fh.get(seg["part"])
         if fh is None:
             fh = open(
@@ -101,7 +108,11 @@ class SearchEngine:
             )
             self._fh[seg["part"]] = fh
         fh.seek(seg["offset"])
-        return fh.read(seg["length"])
+        data = fh.read(seg["length"])
+        if len(self._seg_cache) >= self._SEG_CACHE_MAX:
+            self._seg_cache.pop(next(iter(self._seg_cache)))
+        self._seg_cache[key] = data
+        return data
 
     def df(self, term: bytes) -> int:
         return self._df.get(term, 0)

@@ -271,6 +271,42 @@ def weight_snippets(text: bytes, word_list: list[bytes], word_dfs: list[int]) ->
     return _cluster_and_extract(text, word_pos, kw)
 
 
+def calc_word_percent(snippet: bytes, word_list: list[bytes]) -> float:
+    """Fraction of snippet bytes covered by query/keyword terms — the
+    snippet-quality metric (hw3/Snippets.cpp:749-772).
+
+    The C++ divides two size_t's (integer division, nearly always 0); we
+    return the obviously-intended float ratio and note the deviation.
+    """
+    if not snippet:
+        return 0.0
+    ws = set(word_list)
+    covered = 0
+    word = bytearray()
+    for c in snippet:
+        if c not in SEPARATOR_BYTES:
+            word.append(c)
+        else:
+            if word and bytes(word) in ws:
+                covered += len(word)
+            word.clear()
+    # unlike the scanner quirks, the metric's final word IS counted in the
+    # reference only if followed by a separator — keep that behavior
+    return covered / len(snippet)
+
+
+def eval_snippet_quality(
+    snippets: list[bytes], word_lists: list[list[bytes]]
+) -> dict[str, float]:
+    """Mean coverage across snippets (the genExpResult.py averaging,
+    hw3/metrix/genExpResult.py:1-38, as a library/test utility)."""
+    vals = [calc_word_percent(s, w) for s, w in zip(snippets, word_lists)]
+    return {
+        "mean_word_percent": sum(vals) / len(vals) if vals else 0.0,
+        "n": float(len(vals)),
+    }
+
+
 ALGORITHMS = ("linear", "prefix", "bm25", "vector", "keyword", "weight")
 
 
