@@ -215,7 +215,9 @@ def scaling() -> None:
         # low-cpu run leaks driver/raylet work onto spare cores
         cmd = [sys.executable, os.path.join(REPO, "bench.py")]
         if shutil.which("taskset"):
-            cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
+            ncores = os.cpu_count() or 32
+            # pin to the UPPER cores: core 0/low cores host OS + raylet noise
+            cmd = ["taskset", "-c", f"{ncores - ncpu}-{ncores - 1}"] + cmd
         out = subprocess.run(
             cmd, env=env, capture_output=True, text=True, check=True
         ).stdout

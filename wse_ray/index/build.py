@@ -113,12 +113,14 @@ class TokenizeWriteRuns:
         self.approx_docs = max(1, approx_docs)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
         runs = self.tokenize(batch)
         fname = os.path.join(self.runs_dir, f"run-{uuid.uuid4().hex}.parquet")
         pq.write_table(runs, fname + ".tmp", compression="zstd")
         os.rename(fname + ".tmp", fname)
+        return self._partials(runs)
+
+    def _partials(self, runs: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
         dl = runs["dataLen"].to_numpy()
         # heavy candidates: per-batch density filter with 2x margin
@@ -384,11 +386,31 @@ def build_index(
         t0 = time.perf_counter()
         shutil.rmtree(runs_dir, ignore_errors=True)
         os.makedirs(runs_dir, exist_ok=True)
-        ds = make_ds().map_batches(
-            TokenizeWriteRuns(runs_dir, cfg.tokenizer_mode, threshold, approx_docs),
-            batch_format="pyarrow",
-            batch_size=cfg.tokenize_batch_size,
-        )
+        tok = TokenizeWriteRuns(runs_dir, cfg.tokenizer_mode, threshold, approx_docs)
+        if callable(corpus) or from_html:
+            ds = make_ds().map_batches(
+                tok, batch_format="pyarrow", batch_size=cfg.tokenize_batch_size
+            )
+        else:
+            # fused fast path: read + tokenize + side-write inside ONE task
+            # per row group — the text bytes never enter the object store
+            from ..sources.corpus import list_corpus_files, rowgroup_specs
+
+            specs = rowgroup_specs(list_corpus_files(corpus))
+
+            def fused(spec: pa.Table, _tok=tok) -> pa.Table:
+                path = spec["path"][0].as_py()
+                rg = spec["row_group"][0].as_py()
+                base = spec["base"][0].as_py()
+                t = pq.ParquetFile(path).read_row_group(rg, columns=["url", "text"])
+                docids = pa.array(
+                    np.arange(base, base + t.num_rows, dtype=np.uint64), pa.uint64()
+                )
+                return _tok(t.append_column("docID", docids))
+
+            ds = ray.data.from_items(specs).map_batches(
+                fused, batch_size=1, batch_format="pyarrow"
+            )
         partials = ds.to_pandas()
         n_docs = int(partials["n"].sum())
         total_dl = int(partials["sum_dl"].sum())
