@@ -102,24 +102,28 @@ class MinHashBands:
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch["doc_id"].to_numpy()
         texts = batch["text"].to_pylist()
-        band_ids, band_hashes, out_ids = [], [], []
-        for did, text in zip(doc_ids, texts):
-            sig = minhash_signature(shingle_hashes(text, self.k), self.a, self.b)
-            for bi in range(self.bands):
-                chunk = sig[bi * self.r : (bi + 1) * self.r]
-                bh = int(
-                    pd.util.hash_array(
-                        np.array([chunk.tobytes()], dtype=object), categorize=False
-                    )[0]
-                )
-                band_ids.append(bi)
-                band_hashes.append(bh)
-                out_ids.append(int(did))
+        n = len(texts)
+        sigs = np.empty((n, len(self.a)), dtype=np.uint64)
+        for i, text in enumerate(texts):
+            sigs[i] = minhash_signature(shingle_hashes(text, self.k), self.a, self.b)
+        # vectorized band fingerprints: polynomial mix of the r rows of each
+        # band (band identity only creates CANDIDATE pairs, later verified
+        # by exact Jaccard, so mix collisions are harmless)
+        band_ids = np.repeat(np.arange(self.bands, dtype=np.int32), n)
+        out_ids = np.tile(doc_ids.astype(np.int64), self.bands)
+        hashes = np.empty(self.bands * n, dtype=np.uint64)
+        mul = np.uint64(0x9E3779B97F4A7C15)
+        for bi in range(self.bands):
+            chunk = sigs[:, bi * self.r : (bi + 1) * self.r]
+            h = np.full(n, np.uint64(bi + 1), dtype=np.uint64)
+            for c in range(self.r):
+                h = (h ^ chunk[:, c]) * mul
+            hashes[bi * n : (bi + 1) * n] = h
         return pa.table(
             {
-                "band_id": pa.array(band_ids, pa.int32()),
-                "band_hash": pa.array(np.array(band_hashes, dtype=np.uint64)),
-                "doc_id": pa.array(out_ids, pa.int64()),
+                "band_id": pa.array(band_ids),
+                "band_hash": pa.array(hashes),
+                "doc_id": pa.array(out_ids),
             }
         )
 
@@ -156,10 +160,21 @@ def minhash_dedup_pairs(
     bands_ds = ds.map_batches(
         MinHashBands(num_perm, bands, shingle_k), batch_format="pyarrow"
     )
+    # band rows are tiny (docs x bands); bucket-join on the driver.  At
+    # 10^12-doc scale this becomes a hash-partitioned parquet write + one
+    # pair-emitting task per bucket range (the same storage-shuffle pattern
+    # as the index build) — a Ray groupby over millions of 1-row buckets is
+    # the wrong tool at any scale.
+    rows = bands_ds.to_pandas()
+    dup_mask = rows.duplicated(["band_id", "band_hash"], keep=False)
+    buckets = rows[dup_mask]
+    cand_frames = [
+        _bucket_pairs(g) for _, g in buckets.groupby(["band_id", "band_hash"], sort=False)
+    ]
     cand = (
-        bands_ds.groupby(["band_id", "band_hash"])
-        .map_groups(_bucket_pairs, batch_format="pandas")
-        .to_pandas()
+        pd.concat(cand_frames, ignore_index=True)
+        if cand_frames
+        else pd.DataFrame({"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64)})
     )
     cand = cand.drop_duplicates().reset_index(drop=True) if len(cand) else cand
     if len(cand) == 0:
