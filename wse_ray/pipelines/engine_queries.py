@@ -54,9 +54,27 @@ def _index_dir(sf_dir: str) -> str:
     return os.path.join("/tmp/wse_ray_cache", sf_dir.strip("/").replace("/", "_"))
 
 
+CURRENT_FORMAT_VERSION = 2  # keep in sync with index/build.py manifest
+
+
 def get_engine(sf_dir: str) -> SearchEngine:
     if sf_dir not in _ENGINE_CACHE:
+        import json
+        import shutil
+
         out = _index_dir(sf_dir)
+        # a cached index built by an older code version must not be reused
+        manifest_path = os.path.join(out, "manifest.json")
+        if os.path.exists(manifest_path):
+            try:
+                with open(manifest_path) as f:
+                    ver = json.load(f).get("format_version")
+            except (OSError, ValueError):
+                ver = None
+            if ver != CURRENT_FORMAT_VERSION:
+                shutil.rmtree(out, ignore_errors=True)
+        elif os.path.exists(out):  # partial/crashed build from another run
+            shutil.rmtree(out, ignore_errors=True)
         build_index(
             lambda: corpus_from_documents_table(sf_dir),
             out,
