@@ -56,6 +56,14 @@ class BuildConfig:
     """
 
     num_partitions: int = 16
+    # "term": hash(term) partitions with docID-range splitting of heavy
+    #         hitters — best for batch index builds (balanced encode work).
+    # "doc":  docID-range partitions, every term local to its shard — the
+    #         document-partitioned layout query serving wants (scatter a
+    #         query to shards, each computes complete local scores, merge
+    #         top-k; no term skew by construction).  Both layouts are read
+    #         by the same query engine.
+    partition_by: str = "term"
     # terms with df > heavy_df_threshold are split by docID range into
     # heavy_subparts sub-segments (each routed to its own shuffle partition).
     # None -> auto: max(64k, 4 * n_docs / num_partitions).

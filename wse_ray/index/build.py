@@ -183,6 +183,23 @@ def _binary_route_hash(col: pa.Array) -> np.ndarray:
     return h
 
 
+class AssignPartByDoc:
+    """Shuffle key for the document-partitioned layout: contiguous docID
+    ranges (part = docID * P // N).  No term skew by construction — every
+    shard holds ~N/P docs of every term."""
+
+    def __init__(self, P: int, n_docs: int):
+        self.P = P
+        self.N = max(1, n_docs)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        docids = batch["docID"].to_numpy().astype(np.uint64)
+        part = np.minimum(
+            (docids * np.uint64(self.P)) // np.uint64(self.N), self.P - 1
+        ).astype(np.int64)
+        return batch.append_column("part", pa.array(part, pa.int64()))
+
+
 class AssignPart:
     """Adds the shuffle key.  Normal terms: route_hash(term) % P.  Heavy
     terms are split by docID range into ``subparts`` segments with their own
@@ -447,10 +464,13 @@ def build_index(
         posts = ray.data.read_parquet(
             runs_dir, columns=["docID", "dataLen", "terms", "tfs"]
         ).map_batches(explode_postings, batch_format="pyarrow")
-        posts = posts.map_batches(
-            AssignPart(cfg.num_partitions, cfg.heavy_subparts, heavy_terms, stats["N"]),
-            batch_format="pyarrow",
-        )
+        if cfg.partition_by == "doc":
+            assigner = AssignPartByDoc(cfg.num_partitions, stats["N"])
+        else:
+            assigner = AssignPart(
+                cfg.num_partitions, cfg.heavy_subparts, heavy_terms, stats["N"]
+            )
+        posts = posts.map_batches(assigner, batch_format="pyarrow")
         # zstd: the exchange is disk-bandwidth-bound on slow storage; trading
         # CPU for bytes keeps the storage shuffle scalable (and the postings
         # stream compresses extremely well: sorted docIDs, repeated terms)

@@ -41,16 +41,34 @@ from ..tokenizer import tokenize_query
 
 
 class SearchEngine:
-    def __init__(self, index_dir: str):
+    def __init__(
+        self,
+        index_dir: str,
+        parts: list[int] | None = None,
+        doc_range: tuple[int, int] | None = None,
+    ):
+        """``parts``/``doc_range`` restrict this engine to a shard of a
+        document-partitioned index (query/sharded.py): it then scores only
+        docIDs in [doc_range) and pads zeros within that range, so a
+        scatter-gather merge over shards reproduces the global ranking
+        exactly."""
         with open(os.path.join(index_dir, "stats.json")) as f:
             self.stats = json.load(f)
         self.N = self.stats["N"]
         self.avgdl = self.stats["avgdl"]
         self.index_dir = index_dir
+        self.doc_lo, self.doc_hi = doc_range if doc_range else (0, self.N)
+        self._df_global: dict[bytes, int] | None = None
 
         lex_files = sorted(
             glob.glob(os.path.join(index_dir, "parts", "part=*", "lexicon.parquet"))
         )
+        if parts is not None:
+            keep = set(parts)
+            lex_files = [
+                p for p in lex_files
+                if int(os.path.basename(os.path.dirname(p)).split("=")[1]) in keep
+            ]
         if not lex_files:
             raise FileNotFoundError(f"no lexicon partitions under {index_dir}")
         frames = []
@@ -115,7 +133,17 @@ class SearchEngine:
         return data
 
     def df(self, term: bytes) -> int:
+        """Global document frequency.  In a shard, the coordinator installs
+        the cross-shard sums via set_global_dfs (local dfs would skew idf)."""
+        if self._df_global is not None:
+            return self._df_global.get(term, 0)
         return self._df.get(term, 0)
+
+    def local_dfs(self, terms: list[bytes]) -> dict[bytes, int]:
+        return {t: self._df.get(t, 0) for t in terms}
+
+    def set_global_dfs(self, dfs: dict[bytes, int]) -> None:
+        self._df_global = dfs
 
     def postings(
         self, term: bytes, min_docid: int | None = None, max_docid: int | None = None
@@ -218,7 +246,8 @@ class SearchEngine:
         # summed upper bounds; strictly below the floor -> skip decoding
         # those lists entirely (this prunes exactly the negative-idf common
         # terms whose posting lists are the long ones).
-        zero_pool_ok = (self.N - sum(self.df(t) for t in uniq)) >= k
+        pool = self.doc_hi - self.doc_lo
+        zero_pool_ok = (pool - sum(self.df(t) for t in uniq)) >= k
         theta = 0.0 if zero_pool_ok else -math.inf
         prune_from = len(uniq)
         for i in range(1, len(uniq)):
@@ -264,11 +293,11 @@ class SearchEngine:
             pad = self._padding_docs(ids_all, pruned, k)
             merged = top_matched + [(int(p), 0.0) for p in pad]
             merged.sort(key=lambda r: (-r[1], r[0]))
-            return merged[: min(k, self.N)]
+            return merged[: min(k, self.doc_hi - self.doc_lo)]
         return top_matched
 
     def _padding_docs(self, ids_all: np.ndarray, pruned, k: int) -> np.ndarray:
-        window = 4 * k + 64
+        window = self.doc_lo + 4 * k + 64
         nonzero_pruned = [
             t for t, _m in pruned
             if self.df(t) > 0
@@ -277,12 +306,12 @@ class SearchEngine:
         while True:
             exclude = [np.sort(ids_all)]
             for term in nonzero_pruned:
-                d, _t, _l = self.postings(term, min_docid=0, max_docid=window)
+                d, _t, _l = self.postings(term, min_docid=self.doc_lo, max_docid=window)
                 exclude.append(d[d <= window])
             matched = np.unique(np.concatenate(exclude))
-            pad = _first_missing(matched, self.N, k)
+            pad = _first_missing(matched, self.doc_lo, self.doc_hi, k)
             pad = pad[pad <= window]  # beyond the window, match status unknown
-            if len(pad) >= k or window >= self.N:
+            if len(pad) >= k or window >= self.doc_hi:
                 return pad[:k]
             window *= 4
 
@@ -317,10 +346,10 @@ class SearchEngine:
         # pad needed when fewer than k matches, or when the kth match scores
         # <= 0 (zero-score non-matches outrank negatives and tie-break zeros)
         if len(top_matched) < k or (top_matched and top_matched[-1][1] <= 0.0):
-            pad = _first_missing(np.sort(ids_all), self.N, k)
+            pad = _first_missing(np.sort(ids_all), self.doc_lo, self.doc_hi, k)
             merged = top_matched + [(int(p), 0.0) for p in pad]
             merged.sort(key=lambda r: (-r[1], r[0]))
-            return merged[: min(k, self.N)]
+            return merged[: min(k, self.doc_hi - self.doc_lo)]
         return top_matched
 
     def _conjunctive(self, words: list[bytes], k: int):
@@ -382,12 +411,12 @@ def _merge_add(ids_a, sc_a, ids_b, sc_b):
     return ids, out
 
 
-def _first_missing(sorted_ids: np.ndarray, n_docs: int, k: int) -> np.ndarray:
-    """First k docIDs in [0, n_docs) absent from sorted_ids (zero-pad pool)."""
+def _first_missing(sorted_ids: np.ndarray, lo: int, hi: int, k: int) -> np.ndarray:
+    """First k docIDs in [lo, hi) absent from sorted_ids (zero-pad pool)."""
     out = []
-    next_id = 0
-    i = 0
-    while len(out) < k and next_id < n_docs:
+    next_id = lo
+    i = int(np.searchsorted(sorted_ids, lo))
+    while len(out) < k and next_id < hi:
         if i < len(sorted_ids) and int(sorted_ids[i]) == next_id:
             i += 1
         elif i < len(sorted_ids) and int(sorted_ids[i]) < next_id:
