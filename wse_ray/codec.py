@@ -216,36 +216,67 @@ def _gather(data: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarra
     return data[idx]
 
 
-def _decode_full(mv: memoryview) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Vectorized full-segment decode: ONE gather + ONE varbyte_decode per
-    stream across all chunks/blocks, then a segmented cumsum restores
-    absolute docIDs (chunk-leading deltas are absolute, so
-    abs = cumsum(deltas) rebased at every chunk start).  Relies on the
-    encoder's invariant that every chunk except the segment's last holds
-    exactly POSTINGS_IN_CHUNK postings."""
+def _decode_selected(
+    mv: memoryview, min_docid: int | None, max_docid: int | None
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized decode of the chunks that may intersect [min, max]:
+    ONE gather + ONE varbyte_decode per stream across the SELECTED chunks,
+    then a segmented cumsum restores absolute docIDs (chunk-leading deltas
+    are absolute, so every chunk decodes independently of its neighbors).
+
+    Chunk selection uses the per-chunk ``last_docid`` skip metadata — the
+    Ray-native equivalent of the reference's chunk skipping
+    (hw3/DataLoader.cpp:793,810-816); conservative (output may contain
+    docIDs outside the range).
+    """
     data = np.frombuffer(mv, dtype=np.uint8)
     d_starts, d_lens = [], []
     t_starts, t_lens = [], []
     l_starts, l_lens = [], []
-    for _last, dsz, tsz, lsz, _ubs, pay in _walk_blocks(mv):
+    prev_block_last = -1
+    for last, dsz, tsz, lsz, _ubs, pay in _walk_blocks(mv):
+        m = len(last)
+        lo_sel, hi_sel = 0, m
+        if min_docid is not None:
+            lo_sel = int(np.searchsorted(last, np.uint64(min_docid), side="left"))
+        if max_docid is not None:
+            # chunk c starts after last[c-1]; a chunk whose predecessor's
+            # last_docid >= max_docid can't contain ids <= max_docid
+            firsts = np.empty(m, dtype=np.int64)
+            firsts[0] = prev_block_last
+            firsts[1:] = last[:-1].astype(np.int64)
+            hi_sel = int(np.searchsorted(firsts, max_docid, side="right"))
+        prev_block_last = int(last[-1])
+        hi_sel = max(lo_sel, hi_sel)
+        if hi_sel == lo_sel:
+            continue
         tot = (dsz + tsz + lsz).astype(np.int64)
         off = pay + np.concatenate(([0], np.cumsum(tot)[:-1]))
-        d_starts.append(off)
-        d_lens.append(dsz.astype(np.int64))
-        t_starts.append(off + dsz)
-        t_lens.append(tsz.astype(np.int64))
-        l_starts.append(off + dsz + tsz)
-        l_lens.append(lsz.astype(np.int64))
+        sl = slice(lo_sel, hi_sel)
+        d_starts.append(off[sl])
+        d_lens.append(dsz[sl].astype(np.int64))
+        t_starts.append(off[sl] + dsz[sl])
+        t_lens.append(tsz[sl].astype(np.int64))
+        l_starts.append(off[sl] + dsz[sl] + tsz[sl])
+        l_lens.append(lsz[sl].astype(np.int64))
+    if not d_starts:
+        z = np.zeros(0, dtype=np.uint64)
+        return z, z.copy(), z.copy()
     d_buf = _gather(data, np.concatenate(d_starts), np.concatenate(d_lens))
     t_buf = _gather(data, np.concatenate(t_starts), np.concatenate(t_lens))
     l_buf = _gather(data, np.concatenate(l_starts), np.concatenate(l_lens))
     deltas = varbyte_decode(d_buf)
     tfs = varbyte_decode(t_buf)
     dls = varbyte_decode(l_buf)
+    # per-chunk value counts: count varbyte terminators inside each chunk's
+    # byte range (selected chunks need not be contiguous or full)
+    lens_cat = np.concatenate(d_lens)
+    ends = np.cumsum(lens_cat)
+    term_pos = np.flatnonzero((d_buf & 0x80) == 0)  # one per decoded value
+    sizes = np.diff(np.concatenate(([0], np.searchsorted(term_pos, ends, side="left"))))
     n = len(deltas)
     csum = np.cumsum(deltas)
-    chunk_starts = np.arange(0, n, POSTINGS_IN_CHUNK)
-    sizes = np.diff(np.concatenate((chunk_starts, [n])))
+    chunk_starts = np.concatenate(([0], np.cumsum(sizes)[:-1])).astype(np.int64)
     rebase = np.repeat(csum[chunk_starts] - deltas[chunk_starts], sizes)
     docids = (csum - rebase).astype(np.uint64)
     return docids, tfs, dls
@@ -256,57 +287,9 @@ def decode_posting_list(
     min_docid: int | None = None,
     max_docid: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Decode a term segment into (docids, tfs, dls).
-
-    With ``min_docid``/``max_docid`` set, chunks that cannot intersect the
-    range are *skipped without decoding* using the per-chunk ``last_docid``
-    skip metadata — the Ray-native equivalent of the reference's chunk
-    skipping (hw3/DataLoader.cpp:793,810-816).  Skipping is conservative:
-    decoded output may still contain docIDs outside the range.
-    """
-    if min_docid is None and max_docid is None:
-        return _decode_full(memoryview(buf))
-    mv = memoryview(buf)
-    d_parts, t_parts, l_parts = [], [], []
-    prev_block_last = -1
-    for last, dsz, tsz, lsz, _ubs, pay in _walk_blocks(mv):
-        m = len(last)
-        if min_docid is not None or max_docid is not None:
-            lo_sel = 0
-            hi_sel = m
-            if min_docid is not None:
-                lo_sel = int(np.searchsorted(last, np.uint64(min_docid), side="left"))
-            if max_docid is not None:
-                # chunk c starts after last[c-1]; a chunk whose predecessor's
-                # last_docid >= max_docid can't contain ids <= max_docid
-                firsts = np.empty(m, dtype=np.int64)
-                firsts[0] = prev_block_last
-                firsts[1:] = last[:-1].astype(np.int64)
-                hi_sel = int(np.searchsorted(firsts, max_docid, side="right"))
-            sel = range(lo_sel, max(lo_sel, hi_sel))
-        else:
-            sel = range(m)
-        d_off = np.concatenate(([0], np.cumsum(dsz + tsz + lsz)))
-        for c in sel:
-            base = pay + int(d_off[c])
-            dp = mv[base : base + int(dsz[c])]
-            tp = mv[base + int(dsz[c]) : base + int(dsz[c]) + int(tsz[c])]
-            lp = mv[
-                base + int(dsz[c]) + int(tsz[c]) : base + int(dsz[c]) + int(tsz[c]) + int(lsz[c])
-            ]
-            ids = np.cumsum(varbyte_decode(dp))  # first delta is absolute
-            d_parts.append(ids.astype(np.uint64))
-            t_parts.append(varbyte_decode(tp))
-            l_parts.append(varbyte_decode(lp))
-        prev_block_last = int(last[-1])
-    if not d_parts:
-        z = np.zeros(0, dtype=np.uint64)
-        return z, z.copy(), z.copy()
-    return (
-        np.concatenate(d_parts),
-        np.concatenate(t_parts),
-        np.concatenate(l_parts),
-    )
+    """Decode a term segment into (docids, tfs, dls), optionally restricted
+    to a docID range via chunk skipping (see _decode_selected)."""
+    return _decode_selected(memoryview(buf), min_docid, max_docid)
 
 
 def read_chunk_meta(buf: bytes | memoryview):

@@ -106,6 +106,7 @@ class SearchEngine:
 
         self._fh: dict[int, object] = {}
         self._seg_cache: dict[tuple, bytes] = {}
+        self._ub_cache: dict[bytes, float] = {}
 
     # --- plumbing ------------------------------------------------------------
 
@@ -215,6 +216,9 @@ class SearchEngine:
         index/build.py encode_partition docstring)."""
         from ..codec import read_chunk_meta
 
+        cached = self._ub_cache.get(term)
+        if cached is not None:
+            return cached
         segs = self._segments.get(term)
         if not segs:
             return 0.0
@@ -223,7 +227,9 @@ class SearchEngine:
             _, ubs = read_chunk_meta(self._read_segment(seg))
             if len(ubs):
                 ub = max(ub, float(ubs.max()))
-        return ub if ub > -math.inf else 0.0
+        out = ub if ub > -math.inf else 0.0
+        self._ub_cache[term] = out
+        return out
 
     def _disjunctive_pruned(self, words: list[bytes], k: int):
         """MaxScore TAAT: terms are processed in descending upper-bound
@@ -303,6 +309,9 @@ class SearchEngine:
             if self.df(t) > 0
             and math.log((self.N - float(self.df(t)) + 0.5) / (float(self.df(t)) + 0.5)) != 0.0
         ]
+        if not nonzero_pruned:
+            # exclusion set is already complete — no window expansion needed
+            return _first_missing(np.sort(ids_all), self.doc_lo, self.doc_hi, k)
         while True:
             exclude = [np.sort(ids_all)]
             for term in nonzero_pruned:
@@ -316,8 +325,21 @@ class SearchEngine:
             window *= 4
 
     def _topk(self, doc_ids: np.ndarray, scores: np.ndarray, k: int):
-        if len(doc_ids) == 0:
+        """Top-k by (score desc, docID asc).  ``doc_ids`` must be ascending
+        (all call sites produce sorted candidates), so among equal scores
+        the first occurrences are the smallest docIDs — an argpartition
+        pre-filter preserves the exact tie-break while avoiding a full sort
+        of million-candidate arrays."""
+        n = len(doc_ids)
+        if n == 0:
             return []
+        if n > max(4096, 8 * k) and k < n:
+            kth = np.partition(scores, n - k)[n - k]
+            strictly = np.flatnonzero(scores > kth)
+            need_eq = k - len(strictly)
+            eq_idx = np.flatnonzero(scores == kth)[: max(0, need_eq)]
+            sel = np.sort(np.concatenate((strictly, eq_idx)))
+            doc_ids, scores = doc_ids[sel], scores[sel]
         order = np.lexsort((doc_ids, -scores))[:k]
         return [(int(doc_ids[i]), float(scores[i])) for i in order]
 
@@ -412,19 +434,23 @@ def _merge_add(ids_a, sc_a, ids_b, sc_b):
 
 
 def _first_missing(sorted_ids: np.ndarray, lo: int, hi: int, k: int) -> np.ndarray:
-    """First k docIDs in [lo, hi) absent from sorted_ids (zero-pad pool)."""
-    out = []
-    next_id = lo
-    i = int(np.searchsorted(sorted_ids, lo))
-    while len(out) < k and next_id < hi:
-        if i < len(sorted_ids) and int(sorted_ids[i]) == next_id:
-            i += 1
-        elif i < len(sorted_ids) and int(sorted_ids[i]) < next_id:
-            i += 1
-            continue
-        else:
-            out.append(next_id)
-        next_id += 1
+    """First k docIDs in [lo, hi) absent from sorted_ids (zero-pad pool).
+    Vectorized in geometrically growing blocks (the pool may be sparse when
+    a common term matches nearly every doc)."""
+    out: list[int] = []
+    start = lo
+    block = max(4 * k, 1024)
+    ids = sorted_ids.astype(np.int64)
+    while len(out) < k and start < hi:
+        end = min(hi, start + block)
+        mask = np.ones(end - start, dtype=bool)
+        i_l = int(np.searchsorted(ids, start))
+        i_r = int(np.searchsorted(ids, end))
+        mask[(ids[i_l:i_r] - start)] = False
+        found = np.flatnonzero(mask)
+        out.extend((found[: k - len(out)] + start).tolist())
+        start = end
+        block *= 4
     return np.array(out, dtype=np.uint64)
 
 
