@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lexicon_stats": eq.q_lexicon_stats,
         "bm25_disjunctive": eq.q_bm25_disjunctive,
         "bm25_conjunctive": eq.q_bm25_conjunctive,
+        "bm25_sharded": eq.q_bm25_sharded,  # doc-sharded scatter-gather
         "search_snippets": eq.q_search_snippets,  # N1-N6 dispatch, rows-only
         # text analysis
         "token_counts": eq.q_token_counts,

@@ -46,6 +46,7 @@ SQL_CHECKED = [
     "lexicon_stats",
     "bm25_disjunctive",
     "bm25_conjunctive",
+    "bm25_sharded",
     "token_counts",
     "doc_quality",
     "fingerprint_md5",

@@ -220,6 +220,41 @@ def q_bm25_disjunctive(sf_dir: str) -> pd.DataFrame:
     return _bm25_results(sf_dir, DISJ_QUERIES, "disjunctive")
 
 
+_SHARDED_CACHE: dict[str, object] = {}
+
+
+def q_bm25_sharded(sf_dir: str) -> pd.DataFrame:
+    """Disjunctive BM25 served by the document-partitioned scatter-gather
+    engine (query/sharded.py) — must match the DuckDB oracle exactly, same
+    as the single-node path (the oracle is shared with bm25_disjunctive)."""
+    from ..query.sharded import ShardedSearchEngine
+
+    if sf_dir not in _SHARDED_CACHE:
+        out = _index_dir(sf_dir) + "_doc"
+        import shutil
+
+        manifest_path = os.path.join(out, "manifest.json")
+        if not os.path.exists(manifest_path):
+            shutil.rmtree(out, ignore_errors=True)
+        build_index(
+            lambda: corpus_from_documents_table(sf_dir),
+            out,
+            BuildConfig(num_partitions=4, partition_by="doc", tokenizer_mode="simple"),
+        )
+        _SHARDED_CACHE[sf_dir] = ShardedSearchEngine(out)
+    eng = _SHARDED_CACHE[sf_dir]
+    rows = []
+    for qid, q in DISJ_QUERIES:
+        res = eng.search(q, "disjunctive", TOP_K + 20)
+        res = [(int(d), round(float(s), 6)) for d, s in res]
+        res.sort(key=lambda r: (-r[1], r[0]))
+        for rank, (d, s) in enumerate(res[:TOP_K], 1):
+            rows.append((qid, rank, d, s))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"]).astype(
+        {"query_id": np.int64, "rank": np.int64, "doc_id": np.int64, "score": float}
+    )
+
+
 def q_bm25_conjunctive(sf_dir: str) -> pd.DataFrame:
     """Soft-conjunctive BM25 top-10 (Q3, candidates = min-df term postings)."""
     return _bm25_results(sf_dir, CONJ_QUERIES, "conjunctive")

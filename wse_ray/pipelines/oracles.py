@@ -286,6 +286,7 @@ def oracle_sql_map() -> dict[str, str]:
         "lexicon_stats": sql_lexicon_stats(),
         "bm25_disjunctive": sql_bm25_disjunctive(),
         "bm25_conjunctive": sql_bm25_conjunctive(),
+        "bm25_sharded": sql_bm25_disjunctive(),
         "token_counts": sql_token_counts(),
         "doc_quality": sql_doc_quality(),
         "fingerprint_md5": sql_fingerprint_md5(),
