@@ -60,6 +60,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": rel.q_events_window,
         "top_users": rel.q_top_users,
         "sessionize": rel.q_sessionize,
+        "distinct_users_daily": rel.q_distinct_users_daily,
+        "customers_without_orders": rel.q_customers_without_orders,
     }
 
 

@@ -58,6 +58,8 @@ SQL_CHECKED = [
     "events_window",
     "top_users",
     "sessionize",
+    "distinct_users_daily",
+    "customers_without_orders",
 ]
 
 

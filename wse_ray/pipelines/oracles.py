@@ -277,6 +277,21 @@ SELECT user_id, count(*)::BIGINT AS n_events,
 FROM e GROUP BY user_id ORDER BY user_id"""
 
 
+def sql_distinct_users_daily() -> str:
+    return """
+SELECT date_trunc('day', ts)::TIMESTAMP AS day,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM events GROUP BY day ORDER BY day"""
+
+
+def sql_customers_without_orders() -> str:
+    return """
+SELECT c.c_custkey::BIGINT AS c_custkey, c.c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+ORDER BY c_custkey"""
+
+
 def oracle_sql_map() -> dict[str, str]:
     return {
         "postings": sql_postings(),
@@ -298,4 +313,6 @@ def oracle_sql_map() -> dict[str, str]:
         "events_window": sql_events_window(),
         "top_users": sql_top_users(),
         "sessionize": sql_sessionize(),
+        "distinct_users_daily": sql_distinct_users_daily(),
+        "customers_without_orders": sql_customers_without_orders(),
     }

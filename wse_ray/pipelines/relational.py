@@ -169,3 +169,66 @@ def q_sessionize(sf_dir: str) -> pd.DataFrame:
     return out.astype(
         {"user_id": np.int64, "n_events": np.int64, "n_sessions": np.int64}
     ).sort_values("user_id").reset_index(drop=True)
+
+
+def q_distinct_users_daily(sf_dir: str) -> pd.DataFrame:
+    """Distinct count per group with map-side set partials (exact distinct
+    without shuffling raw rows: per-batch unique pairs, then a pandas merge
+    of the vocab-sized partials — the pre-aggregation pattern)."""
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[D]")
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pairs = np.unique(
+            np.stack([ts.astype("int64"), uid], axis=1), axis=0
+        )
+        return pa.table(
+            {
+                "day": pa.array(pairs[:, 0].astype("datetime64[D]").astype("datetime64[us]")),
+                "user_id": pa.array(pairs[:, 1]),
+            }
+        )
+
+    pairs = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = (
+        pairs.drop_duplicates()
+        .groupby("day", as_index=False)
+        .agg(n_users=("user_id", "nunique"))
+    )
+    out["n_users"] = out["n_users"].astype(np.int64)
+    return out.sort_values("day").reset_index(drop=True)
+
+
+def q_customers_without_orders(sf_dir: str) -> pd.DataFrame:
+    """Anti join: customers with no orders — broadcast the order-customer
+    key SET (a Bloom filter at 10^12 scale) and filter inside map_batches;
+    no shuffle."""
+    import ray
+
+    okeys = (
+        _read(sf_dir, "orders", ["o_custkey"])
+        .to_pandas()["o_custkey"]
+        .unique()
+    )
+    ref = ray.put(np.sort(okeys.astype(np.int64)))
+
+    def anti(t: pa.Table) -> pa.Table:
+        keys = ray.get(ref)
+        ck = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(keys, ck)
+        pos_c = np.minimum(pos, len(keys) - 1)
+        has = keys[pos_c] == ck
+        return t.filter(pa.array(~has))
+
+    out = (
+        _read(sf_dir, "customer", ["c_custkey", "c_name"])
+        .map_batches(anti, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if "c_custkey" not in out.columns:  # every customer had orders
+        out = pd.DataFrame(
+            {"c_custkey": pd.Series(dtype=np.int64), "c_name": pd.Series(dtype=str)}
+        )
+    out["c_custkey"] = out["c_custkey"].astype(np.int64)
+    return out.sort_values("c_custkey").reset_index(drop=True)
