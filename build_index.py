@@ -35,7 +35,9 @@ def main() -> None:
 
     if not ray.is_initialized():
         ray.init(
-            address="local",
+            # sandbox runs local; on a real cluster pass WSE_RAY_ADDRESS=auto
+            # (ray job submit sets up the cluster connection)
+            address=os.environ.get("WSE_RAY_ADDRESS", "local"),
             num_cpus=args.num_cpus,
             include_dashboard=False,
             ignore_reinit_error=True,
