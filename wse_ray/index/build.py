@@ -72,16 +72,6 @@ LEXICON_SCHEMA = pa.schema(
     ]
 )
 
-PARTIAL_SCHEMA = pa.schema(
-    [
-        ("n", pa.int64()),
-        ("sum_dl", pa.int64()),
-        ("max_dl", pa.int64()),
-        ("term", pa.large_binary()),
-        ("df", pa.int64()),
-    ]
-)
-
 
 def _done(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_SUCCESS"))

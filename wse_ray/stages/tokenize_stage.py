@@ -15,17 +15,6 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-RUNS_SCHEMA = pa.schema(
-    [
-        ("docID", pa.uint64()),
-        ("url", pa.large_string()),
-        ("dataLen", pa.uint64()),
-        ("wordnums", pa.uint32()),
-        ("terms", pa.large_list(pa.large_binary())),
-        ("tfs", pa.large_list(pa.uint32())),
-    ]
-)
-
 
 class TokenizeDocs:
     """map_batches fn: (docID, url, text) -> runs rows.
