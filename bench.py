@@ -49,10 +49,13 @@ BENCH_OUT = os.environ.get(
 )
 
 
-def run_build(corpus_dir: str, out_dir: str, num_partitions: int = 32) -> dict:
+def run_build(corpus_dir: str, out_dir: str, num_partitions: int | None = None) -> dict:
     from wse_ray.config import BuildConfig
     from wse_ray.index.build import build_index
 
+    if num_partitions is None:
+        # size partitions to the corpus so no single encode task straggles
+        num_partitions = max(32, BENCH_DOCS // 25000)
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.perf_counter()
     manifest = build_index(
