@@ -57,14 +57,14 @@ def test_doctable_matches(built, oracle):
 
 def test_heavy_term_was_split(built, engine, oracle):
     # the fixture puts HEAVY_TERM in (almost) every doc; threshold 50 << df
-    segs = engine._segments[HEAVY_TERM.encode()]
+    segs = engine._term_segments(HEAVY_TERM.encode())
     assert len(segs) == 2  # heavy_subparts
     assert segs[0]["last_docid"] < segs[1]["first_docid"]
     assert engine.df(HEAVY_TERM.encode()) == oracle.df(HEAVY_TERM.encode()) > 50
 
 
 def test_postings_match_oracle(engine, oracle):
-    assert set(engine._segments) == set(oracle.postings)
+    assert set(engine._term_run) == set(oracle.postings)
     for term, plist in oracle.postings.items():
         d, t, dl = engine.postings(term)
         want_ids = np.array([p[0] for p in plist], dtype=np.uint64)

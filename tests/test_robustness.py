@@ -75,3 +75,45 @@ def test_search_empty_query_and_whitespace(ray_session, tmp_path):
     assert eng.search("", "disjunctive", 5) == []
     assert eng.search("   ,;. ", "conjunctive", 5) == []
     assert eng.search("word", "disjunctive_pruned", 5)[0][0] == 0
+
+
+def test_run_write_retry_idempotent(tmp_path):
+    """A re-executed phase-1 task must overwrite its run file, not duplicate
+    the row group (run names derive from the batch's min docID)."""
+    import glob
+    from wse_ray.index.build import TokenizeWriteRuns
+
+    runs_dir = tmp_path / "runs"
+    runs_dir.mkdir()
+    batch = pa.table(
+        {
+            "docID": pa.array([5, 6, 7], pa.uint64()),
+            "url": pa.array(["a", "b", "c"]),
+            "text": pa.array([b"x y ", b"y z ", b"z x "], pa.large_binary()),
+        }
+    )
+    tok = TokenizeWriteRuns(str(runs_dir), "simple", 1000, 3)
+    tok(batch)
+    tok(batch)  # simulated lineage re-execution
+    files = glob.glob(str(runs_dir / "*.parquet"))
+    assert len(files) == 1
+    assert pq.read_table(files[0]).num_rows == 3
+
+
+def test_postings_compaction_o_p_files(ray_session, tmp_path, tiny_corpus_dir):
+    """compact_min_fragments=1 must leave exactly one exchange file per
+    partition with identical query results."""
+    import glob
+    from wse_ray.fixtures import make_queries
+    from wse_ray.query.scorer import SearchEngine
+
+    plain = tmp_path / "idx_plain"
+    compact = tmp_path / "idx_compact"
+    build_index(tiny_corpus_dir, str(plain), BuildConfig(num_partitions=4, compact_min_fragments=0))
+    build_index(tiny_corpus_dir, str(compact), BuildConfig(num_partitions=4, compact_min_fragments=1))
+    for d in sorted(glob.glob(str(compact / "postings" / "part=*"))):
+        files = glob.glob(d + "/*.parquet")
+        assert len(files) == 1 and "compacted" in files[0], d
+    ep, ec = SearchEngine(str(plain)), SearchEngine(str(compact))
+    for q in make_queries():
+        assert ep.search(q["query"], q["mode"], q["k"]) == ec.search(q["query"], q["mode"], q["k"])

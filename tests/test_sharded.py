@@ -43,6 +43,31 @@ def test_sharded_scatter_gather_identical(both_indexes):
         assert got == want, q
 
 
+def test_sharded_uneven_partition_identical(both_indexes, tiny_corpus_dir, tmp_path_factory):
+    """N % P != 0 regression: with N=100, P=3 the boundary docs (34, 67) must
+    belong to exactly one shard.  A floor-based doc range (p*N//P) makes shard
+    p claim shard p-1's boundary doc as zero-padding, emitting spurious
+    zero-score hits that displace real results."""
+    from wse_ray.query.sharded import ShardedSearchEngine
+
+    doc_idx = str(tmp_path_factory.mktemp("idx_doc_p3"))
+    build_index(
+        tiny_corpus_dir, doc_idx,
+        BuildConfig(num_partitions=3, partition_by="doc"),
+    )
+    term_e = SearchEngine(both_indexes[0])
+    sharded = ShardedSearchEngine(doc_idx)
+    assert len(sharded.shards) == 3
+    # ranges must tile [0, N) exactly, matching AssignPartByDoc
+    assert sharded.doc_ranges[0][0] == 0 and sharded.doc_ranges[-1][1] == 100
+    for (_, hi), (lo, _) in zip(sharded.doc_ranges, sharded.doc_ranges[1:]):
+        assert hi == lo
+    for q in make_queries():
+        got = sharded.search(q["query"], q["mode"], q["k"])
+        want = term_e.search(q["query"], q["mode"], q["k"])
+        assert got == want, q
+
+
 def test_sharded_rejects_term_layout(both_indexes):
     from wse_ray.query.sharded import ShardedSearchEngine
 

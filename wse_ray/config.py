@@ -77,4 +77,9 @@ class BuildConfig:
     tokenizer_mode: str = "trec"
     # concurrency knobs (None -> let Ray size stages)
     encode_concurrency: int | None = None
+    # postings-exchange compaction: a shuffle partition written by > this
+    # many map tasks is rewritten as one file before encode, keeping the
+    # stored exchange O(P) files instead of O(map_tasks * P) (at 10^12 docs
+    # the latter is filesystem-killing).  0 disables compaction.
+    compact_min_fragments: int = 16
     extra: dict = field(default_factory=dict)

@@ -100,24 +100,42 @@ class TokenizeWriteRuns:
         self.runs_dir = runs_dir
         self.tokenize = TokenizeDocs(mode)
         self.threshold = heavy_threshold
-        self.approx_docs = max(1, approx_docs)
+        self.approx_docs = approx_docs  # <= 0: unknown (callable corpus)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         runs = self.tokenize(batch)
-        fname = os.path.join(self.runs_dir, f"run-{uuid.uuid4().hex}.parquet")
-        pq.write_table(runs, fname + ".tmp", compression="zstd")
-        os.rename(fname + ".tmp", fname)
+        if runs.num_rows:
+            # deterministic filename from the batch's min docID (docIDs are
+            # globally unique and batches are disjoint row ranges): a Ray
+            # task re-execution rewrites the SAME file instead of silently
+            # duplicating the row group in the runs checkpoint.  tmp name is
+            # per-attempt so concurrent attempts can't interleave writes;
+            # the rename is atomic and idempotent (same content).
+            import pyarrow.compute as pc
+
+            base = int(pc.min(runs["docID"]).as_py())
+            fname = os.path.join(self.runs_dir, f"run-{base:012d}.parquet")
+            tmp = f"{fname}.tmp-{uuid.uuid4().hex}"
+            pq.write_table(runs, tmp, compression="zstd")
+            os.rename(tmp, fname)
         return self._partials(runs)
 
     def _partials(self, runs: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         dl = runs["dataLen"].to_numpy()
-        # heavy candidates: per-batch density filter with 2x margin
+        # heavy candidates: per-batch density filter with 2x margin; when the
+        # corpus size is unknown (callable corpora) the density cutoff is
+        # meaningless, so return FULL per-batch counts (cutoff 1) and let the
+        # driver's exact sum decide — routing-only either way, never
+        # correctness (module docstring)
         flat = pc.list_flatten(runs["terms"].combine_chunks())
         vc = pc.value_counts(flat)
         counts = vc.field("counts").to_numpy()
-        cutoff = max(1.0, self.threshold * len(dl) / (2.0 * self.approx_docs))
+        if self.approx_docs <= 0:
+            cutoff = 1.0
+        else:
+            cutoff = max(1.0, self.threshold * len(dl) / (2.0 * self.approx_docs))
         keep = np.flatnonzero(counts >= cutoff)
         cand_terms = vc.field("values").take(pa.array(keep)).cast(pa.large_binary())
         n_cand = len(keep)
@@ -223,6 +241,39 @@ class AssignPart:
 # --------------------------------------------------------------------------
 # phase 3: per-partition encode
 # --------------------------------------------------------------------------
+
+
+def _compact_part_task(spec: pa.Table, min_fragments: int) -> pa.Table:
+    """Rewrite one exchange partition's fragment files as a single file.
+
+    write_parquet(partition_cols) leaves one fragment per (map task,
+    partition) pair — O(tasks * P) files; at 10^12 docs that's a
+    filesystem-killing file count, so partitions touched by more than
+    ``min_fragments`` tasks are compacted to one file (O(P) total).
+
+    Idempotent / crash-safe: the compacted file is tmp+renamed first, then
+    fragments are deleted; a rerun that finds a ``compacted-`` file only
+    finishes the deletes.
+    """
+    import glob as _glob
+
+    part_dir = spec["src"][0].as_py()
+    frags = sorted(_glob.glob(os.path.join(part_dir, "*.parquet")))
+    done_marker = os.path.join(part_dir, "compacted-0.parquet")
+    leftovers = [f for f in frags if not os.path.basename(f).startswith("compacted-")]
+    if os.path.exists(done_marker):
+        for f in leftovers:  # finish an interrupted fragment cleanup
+            os.remove(f)
+        return pa.table({"n_files": pa.array([1], pa.int64())})
+    if len(leftovers) <= min_fragments:
+        return pa.table({"n_files": pa.array([len(leftovers)], pa.int64())})
+    merged = pa.concat_tables([pq.read_table(f) for f in leftovers])
+    tmp = done_marker + f".tmp-{uuid.uuid4().hex}"
+    pq.write_table(merged, tmp, compression="zstd")
+    os.rename(tmp, done_marker)
+    for f in leftovers:
+        os.remove(f)
+    return pa.table({"n_files": pa.array([1], pa.int64())})
 
 
 def _metrics_row(part: int, part_dir: str, cached: bool = False) -> pa.Table:
@@ -469,6 +520,18 @@ def build_index(
             partition_cols=["part"],
             compression="zstd",
         )
+        if cfg.compact_min_fragments:
+            import glob as _glob
+
+            cspecs = [
+                {"src": d}
+                for d in sorted(_glob.glob(os.path.join(postings_dir, "part=*")))
+            ]
+            ray.data.from_items(cspecs).map_batches(
+                partial(_compact_part_task, min_fragments=cfg.compact_min_fragments),
+                batch_size=1,
+                batch_format="pyarrow",
+            ).to_pandas()  # tiny: one row per partition
         _mark(postings_dir)
         timings["postings"] = time.perf_counter() - t0
 

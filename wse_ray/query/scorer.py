@@ -78,28 +78,51 @@ class SearchEngine:
             frames.append(
                 t.append_column("part", pa.array([part] * t.num_rows, pa.int64()))
             )
-        lex = pa.concat_tables(frames)
-        # term -> list of segments ordered by first_docid (heavy terms span
-        # several docID-range segments; ranges are disjoint by construction).
-        # The GLOBAL df is the sum of segment dfs — exact by construction,
-        # no separate global-df pass needed at build time.
-        self._segments: dict[bytes, list[dict]] = {}
-        self._df: dict[bytes, int] = {}
-        cols = {c: lex[c].to_pylist() for c in lex.column_names}
-        for i in range(lex.num_rows):
-            term = cols["term"][i]
-            seg = {k: cols[k][i] for k in (
-                "part", "offset", "length", "first_docid", "last_docid", "df_seg"
-            )}
-            self._segments.setdefault(term, []).append(seg)
-            self._df[term] = self._df.get(term, 0) + cols["df_seg"][i]
-        for segs in self._segments.values():
-            segs.sort(key=lambda s: s["first_docid"])
+        # Lexicon held as sorted column arrays, not per-row dicts: one
+        # sort groups each term's segments contiguously (heavy terms span
+        # several docID-range segments; ranges are disjoint by construction)
+        # and df per term is a single reduceat — no per-row Python loop, so
+        # a web-scale vocab loads at numpy speed.  The GLOBAL df is the sum
+        # of segment dfs — exact by construction, no separate global-df
+        # pass needed at build time.
+        lex = pa.concat_tables(frames).sort_by(
+            [("term", "ascending"), ("first_docid", "ascending")]
+        )
+        self._lex = {
+            c: lex[c].to_numpy()
+            for c in ("part", "offset", "length", "first_docid", "last_docid", "df_seg")
+        }
+        terms = np.asarray(lex["term"].to_pylist(), dtype=object)
+        if len(terms):
+            starts = np.flatnonzero(
+                np.concatenate(([True], terms[1:] != terms[:-1]))
+            )
+            ends = np.concatenate((starts[1:], [len(terms)]))
+            dfs = np.add.reduceat(self._lex["df_seg"], starts)
+        else:
+            starts = ends = dfs = np.zeros(0, dtype=np.int64)
+        self._term_run: dict[bytes, tuple[int, int]] = {
+            terms[s]: (int(s), int(e)) for s, e in zip(starts, ends)
+        }
+        self._df: dict[bytes, int] = {
+            terms[s]: int(d) for s, d in zip(starts, dfs)
+        }
+        self._seg_lists: dict[bytes, list[dict]] = {}
 
-        # the runs checkpoint doubles as the doctable (SURVEY.md S6)
+        # the runs checkpoint doubles as the doctable (SURVEY.md S6); a
+        # doc-range shard predicate-pushes its range so per-actor memory is
+        # N/P, not N (sharded.py's "doctable per actor is shard-local")
+        flt = None
+        if doc_range is not None:
+            import pyarrow.dataset as pads
+
+            flt = (pads.field("docID") >= self.doc_lo) & (
+                pads.field("docID") < self.doc_hi
+            )
         dt = pq.read_table(
             os.path.join(index_dir, "runs"),
             columns=["docID", "url"],
+            filters=flt,
         ).sort_by("docID")
         self._doc_ids = dt["docID"].to_numpy()
         self._urls = dt["url"]
@@ -111,6 +134,25 @@ class SearchEngine:
     # --- plumbing ------------------------------------------------------------
 
     _SEG_CACHE_MAX = 1024  # segments; raw bytes only (decoded arrays are not cached)
+
+    def _term_segments(self, term: bytes) -> list[dict] | None:
+        """Segment descriptors for ``term``, ordered by first_docid (the load
+        sort), materialized lazily per queried term — query terms are few,
+        the vocab is not."""
+        segs = self._seg_lists.get(term)
+        if segs is not None:
+            return segs
+        run = self._term_run.get(term)
+        if run is None:
+            return None
+        s, e = run
+        segs = [
+            {k: v[i].item() if hasattr(v[i], "item") else v[i]
+             for k, v in self._lex.items()}
+            for i in range(s, e)
+        ]
+        self._seg_lists[term] = segs
+        return segs
 
     def _read_segment(self, seg: dict) -> bytes:
         key = (seg["part"], seg["offset"])
@@ -151,7 +193,7 @@ class SearchEngine:
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Decoded (docids, tfs, dls) for a term, segments concatenated in
         docID order; optional range restriction uses chunk skipping."""
-        segs = self._segments.get(term)
+        segs = self._term_segments(term)
         if not segs:
             z = np.zeros(0, dtype=np.uint64)
             return z, z.copy(), z.copy()
@@ -219,7 +261,7 @@ class SearchEngine:
         cached = self._ub_cache.get(term)
         if cached is not None:
             return cached
-        segs = self._segments.get(term)
+        segs = self._term_segments(term)
         if not segs:
             return 0.0
         ub = -math.inf

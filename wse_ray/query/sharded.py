@@ -62,9 +62,15 @@ class ShardedSearchEngine:
         parts = [int(os.path.basename(d).split("=")[1]) for d in part_dirs]
         P = manifest["config"]["num_partitions"]
         self.shards = []
+        self.doc_ranges: list[tuple[int, int]] = []
         for p in parts:
-            lo = p * self.N // P
-            hi = (p + 1) * self.N // P if p < P - 1 else self.N
+            # Exact inverse of AssignPartByDoc's part = docID * P // N:
+            # part p owns docIDs in [ceil(p*N/P), ceil((p+1)*N/P)).  A floor
+            # here (p*N//P) would claim the boundary doc of shard p-1 when
+            # N % P != 0, making that doc a spurious zero-score hit in p.
+            lo = (p * self.N + P - 1) // P
+            hi = ((p + 1) * self.N + P - 1) // P
+            self.doc_ranges.append((lo, hi))
             self.shards.append(
                 ShardWorker.remote(index_dir, [p], (lo, hi))
             )

@@ -84,6 +84,28 @@ def read_corpus(
     )
 
 
+def _assert_dense_doc_ids(path: str) -> None:
+    """The engine's zero-padding pool and AssignPartByDoc assume DENSE
+    0..N-1 docIDs; a 1-based or sparse doc_id table would silently emit
+    nonexistent docIDs as zero-score results and misalign shard ranges.
+    Checked for free from the Parquet footer's column statistics."""
+    md = pq.ParquetFile(path).metadata
+    n = md.num_rows
+    idx = md.schema.to_arrow_schema().get_field_index("doc_id")
+    lo, hi = None, None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return  # no stats -> cannot check cheaply; trust the caller
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    if n and (lo != 0 or hi != n - 1):
+        raise ValueError(
+            f"documents.doc_id must be dense 0..N-1 (N={n}, got min={lo}, "
+            f"max={hi}); re-enumerate before corpus_from_documents_table"
+        )
+
+
 def corpus_from_documents_table(sf_dir: str) -> ray.data.Dataset:
     """Adapter: the testdata ``documents`` table viewed as a corpus.
 
@@ -91,10 +113,9 @@ def corpus_from_documents_table(sf_dir: str) -> ray.data.Dataset:
     synthesized; text is the body (tokenizer_mode="simple" applies: no
     url first line inside text).
     """
-    ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["doc_id", "text", "source"],
-    )
+    path = os.path.join(sf_dir, "documents.parquet")
+    _assert_dense_doc_ids(path)
+    ds = ray.data.read_parquet(path, columns=["doc_id", "text", "source"])
 
     def to_corpus(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
