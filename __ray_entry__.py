@@ -9,10 +9,13 @@ here (or in wse_ray) calls ray.init()/ray.shutdown().
                  encode) and answer the fixed BM25 query set from it.
 ``queries()``  — one callable per implemented operator/pipeline
                  (SURVEY.md §2 + the training-data operators).
-``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible entry;
-                 the rest (LSH/simhash candidates, approximate IVF, snippet
-                 text, lang-id heuristic, multimodal stub) get the
-                 driver's rows-only check and are pinned by pytest instead.
+``oracle_sql()`` — a DuckDB oracle for EVERY entry: independent
+                 recomputation SQL where expressible (incl. exact-Jaccard
+                 for the MinHash pipeline, marker-argmax for lang-id, byte
+                 arithmetic for the multimodal stub), and pinned-golden
+                 VALUES tables (pipelines/goldens.py) for the three gates
+                 SQL cannot recompute (snippet text, simhash64's pandas
+                 hash, approximate IVF).
 """
 from __future__ import annotations
 
@@ -40,20 +43,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_disjunctive": eq.q_bm25_disjunctive,
         "bm25_conjunctive": eq.q_bm25_conjunctive,
         "bm25_sharded": eq.q_bm25_sharded,  # doc-sharded scatter-gather
-        "search_snippets": eq.q_search_snippets,  # N1-N6 dispatch, rows-only
+        "search_snippets": eq.q_search_snippets,  # N1-N6 dispatch (pinned-golden oracle)
         # text analysis
         "token_counts": eq.q_token_counts,
         "doc_quality": eq.q_doc_quality,
-        "lang_id": eq.q_lang_id,  # rows-only (heuristic)
+        "lang_id": eq.q_lang_id,
         "fingerprint_md5": eq.q_fingerprint_md5,
         # dedup / similarity
         "dedup_exact": eq.q_dedup_exact,
-        "dedup_minhash": eq.q_dedup_minhash,  # rows-only (LSH candidates)
-        "dedup_simhash": eq.q_dedup_simhash,  # rows-only
+        "dedup_minhash": eq.q_dedup_minhash,  # exact-Jaccard SQL oracle
+        "dedup_simhash": eq.q_dedup_simhash,  # pinned-golden oracle
         "dedup_embedding": eq.q_dedup_embedding,
         "ann_topk": eq.q_ann_topk,
-        "ann_ivf": eq.q_ann_ivf,  # rows-only (approximate)
-        "multimodal_meta": eq.q_multimodal_meta,  # rows-only (stub decode)
+        "ann_ivf": eq.q_ann_ivf,  # pinned-golden oracle (approximate by design)
+        "multimodal_meta": eq.q_multimodal_meta,
         # relational / streaming-shaped demos
         "pricing_summary": rel.q_pricing_summary,
         "revenue_by_nation": rel.q_revenue_by_nation,

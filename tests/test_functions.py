@@ -123,3 +123,27 @@ def test_multimodal_stage(ray_session):
     assert len(out) == 500
     assert out["decoded"].all()
     assert (out["width"] >= 16).all() and (out["n_bytes"] > 0).all()
+
+
+def test_ivf_partition_pruned_index(vec_ds, tmp_path):
+    """The persistent IVF index must (a) read only the probed cells and
+    (b) return the same results as the one-shot path."""
+    from wse_ray.functions.ann import build_ivf_index, ivf_search_index, ivf_topk
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(vec_ds, idx, n_clusters=8, sample_rows=2000)
+    import glob
+    assert len(glob.glob(idx + "/cells/cell=*")) >= 2
+
+    qsel = vec_ds.to_pandas()
+    qsel = qsel[qsel["vec_id"].isin([0, 1, 2])].sort_values("vec_id")
+    q_ids = qsel["vec_id"].to_numpy(np.int64)
+    q_mat = np.stack(qsel["embedding"].to_numpy())
+    via_index = ivf_search_index(idx, q_ids, q_mat, k=5, nprobe=2)
+    one_shot = ivf_topk(vec_ds, [0, 1, 2], k=5, n_clusters=8, nprobe=2)
+    pd.testing.assert_frame_equal(
+        via_index.reset_index(drop=True), one_shot.reset_index(drop=True)
+    )
+    # build is resumable: second call loads centroids without rewriting
+    import numpy.testing as npt
+    npt.assert_array_equal(build_ivf_index(vec_ds, idx, n_clusters=8), np.load(idx + "/centroids.npy"))

@@ -4,13 +4,17 @@
   (ray.put), every batch computes a matmul and emits its LOCAL top-k per
   query; the driver merges the tiny partials.  This is the scalable exact
   baseline: shuffle volume is (batches x queries x k), not the corpus.
-* ``ivf_topk`` — IVF approximation: deterministic numpy k-means on a sample
-  builds the centroid table (broadcast); each batch assigns its vectors to
-  the nearest centroid; queries probe only the ``nprobe`` nearest clusters.
-  At 10^12 scale the assignment becomes the partitioning key so each probe
-  touches only its clusters' partitions.
+* ``build_ivf_index`` / ``ivf_search_index`` — IVF with partition pruning:
+  deterministic numpy k-means on a sample builds the centroid table, each
+  vector is written under its nearest cell's ``cell=K/`` parquet partition,
+  and a search reads ONLY the union of its queries' ``nprobe`` cells —
+  probe I/O is ~nprobe/n_clusters of the corpus, not a full scan.
+  ``ivf_topk`` wraps build+search for one-shot use.
 """
 from __future__ import annotations
+
+import os
+from functools import partial
 
 import numpy as np
 import pandas as pd
@@ -138,6 +142,133 @@ def _kmeans(mat: np.ndarray, n_clusters: int, iters: int = 10, seed: int = 11) -
     return centers
 
 
+class _AssignIVFCell:
+    """map_batches: append ``cell`` = nearest-centroid index (the partition
+    key of the stored index)."""
+
+    def __init__(self, centers_ref):
+        self.centers_ref = centers_ref
+        self._centers = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+
+        if self._centers is None:
+            self._centers = ray.get(self.centers_ref)
+        mat = _normalize(_stack(batch["embedding"]))
+        assign = np.argmax(mat @ self._centers.T, axis=1).astype(np.int64)
+        return batch.append_column("cell", pa.array(assign, pa.int64()))
+
+
+def build_ivf_index(
+    ds,
+    out_dir: str,
+    n_clusters: int = 16,
+    sample_rows: int = 2000,
+) -> np.ndarray:
+    """Write an IVF index: vectors hive-partitioned by their nearest-centroid
+    cell (``cell=K/`` parquet) + the centroid matrix.
+
+    The cluster assignment IS the partition key, so a query probing
+    ``nprobe`` cells reads only those partitions from storage — at 10^12
+    vectors a probe touches nprobe/n_clusters of the corpus instead of
+    scanning and mask-filtering every batch.  Returns the centroids.
+    """
+    import ray
+
+    os.makedirs(out_dir, exist_ok=True)
+    done = os.path.join(out_dir, "_SUCCESS")
+    cpath = os.path.join(out_dir, "centroids.npy")
+    if os.path.exists(done):
+        return np.load(cpath)
+    sample = ds.limit(sample_rows).to_pandas()
+    centers = _kmeans(
+        _normalize(np.stack(sample["embedding"].to_numpy()).astype(np.float64)),
+        n_clusters,
+    )
+    ds.map_batches(
+        _AssignIVFCell(ray.put(centers)), batch_format="pyarrow"
+    ).write_parquet(os.path.join(out_dir, "cells"), partition_cols=["cell"], compression="zstd")
+    np.save(cpath, centers)
+    with open(done, "w") as f:
+        f.write("ok\n")
+    return centers
+
+
+def _probe_cell_task(spec: pa.Table, index_dir: str, qref, k: int) -> pa.Table:
+    """One probed cell -> partial top-k for the queries probing it."""
+    import pyarrow.parquet as pq
+
+    import ray
+
+    cell = int(spec["cell"][0].as_py())
+    q_ids, q_mat, probe = ray.get(qref)
+    t = pq.read_table(
+        os.path.join(index_dir, "cells", f"cell={cell}"),
+        columns=["vec_id", "embedding"],
+    )
+    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = _normalize(_stack(t["embedding"]))
+    out_q, out_v, out_s = [], [], []
+    for qi in range(len(q_ids)):
+        if cell not in probe[qi]:
+            continue
+        sims = q_mat[qi] @ mat.T
+        kk = min(k, len(sims))
+        if kk == 0:
+            continue
+        idx = np.argpartition(-sims, kk - 1)[:kk]
+        out_q.extend([int(q_ids[qi])] * kk)
+        out_v.extend(ids[idx].tolist())
+        out_s.extend(sims[idx].tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "cosine": pa.array(out_s, pa.float64()),
+        }
+    )
+
+
+def ivf_search_index(
+    index_dir: str,
+    q_ids: np.ndarray,
+    q_mat: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+) -> pd.DataFrame:
+    """Partition-pruned IVF search over a ``build_ivf_index`` directory:
+    reads ONLY the union of the queries' nprobe cells."""
+    import glob as _glob
+
+    import ray
+    import ray.data
+
+    centers = np.load(os.path.join(index_dir, "centroids.npy"))
+    q_mat = _normalize(np.asarray(q_mat, dtype=np.float64))
+    probe = np.argsort(-(q_mat @ centers.T), axis=1)[:, :nprobe]
+    existing = {
+        int(os.path.basename(d).split("=")[1])
+        for d in _glob.glob(os.path.join(index_dir, "cells", "cell=*"))
+    }
+    needed = sorted(set(probe.ravel().tolist()) & existing)
+    if not needed:
+        return _merge_topk(
+            pd.DataFrame({"query_id": [], "vec_id": [], "cosine": []}), k
+        )
+    qref = ray.put((np.asarray(q_ids, dtype=np.int64), q_mat, [set(p) for p in probe]))
+    partials = (
+        ray.data.from_items([{"cell": c} for c in needed])
+        .map_batches(
+            partial(_probe_cell_task, index_dir=index_dir, qref=qref, k=k),
+            batch_size=1,
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    return _merge_topk(partials, k)
+
+
 def ivf_topk(
     ds,
     query_ids: list[int],
@@ -145,12 +276,17 @@ def ivf_topk(
     n_clusters: int = 16,
     nprobe: int = 4,
     sample_rows: int = 2000,
+    index_dir: str | None = None,
 ) -> pd.DataFrame:
-    """Approximate cosine top-k: probe only the nprobe nearest IVF cells."""
-    import ray
+    """Approximate cosine top-k: probe only the nprobe nearest IVF cells.
 
-    sample = ds.limit(sample_rows).to_pandas()
-    centers = _kmeans(_normalize(np.stack(sample["embedding"].to_numpy())), n_clusters)
+    Builds (or reuses, when ``index_dir`` is given) a cell-partitioned IVF
+    index and searches it with partition pruning — the probe reads
+    ~nprobe/n_clusters of the stored vectors, never the full corpus.
+    """
+    import shutil
+    import tempfile
+
     qsel = ds.map_batches(
         lambda t: t.filter(
             pa.array(
@@ -163,35 +299,12 @@ def ivf_topk(
         batch_format="pyarrow",
     ).to_pandas().sort_values("vec_id")
     q_ids = qsel["vec_id"].to_numpy(np.int64)
-    q_mat = _normalize(np.stack(qsel["embedding"].to_numpy()))
-    # clusters each query probes
-    probe = np.argsort(-(q_mat @ centers.T), axis=1)[:, :nprobe]
-    ref = ray.put((q_ids, q_mat, centers, probe))
-
-    def batch_probe(batch: pa.Table) -> pa.Table:
-        qi_ids, qm, cent, prb = ray.get(ref)
-        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        mat = _normalize(_stack(batch["embedding"]))
-        assign = np.argmax(mat @ cent.T, axis=1)
-        out_q, out_v, out_s = [], [], []
-        for qi in range(len(qi_ids)):
-            mask = np.isin(assign, prb[qi])
-            if not mask.any():
-                continue
-            sims = qm[qi] @ mat[mask].T
-            kk = min(k, len(sims))
-            idx = np.argpartition(-sims, kk - 1)[:kk]
-            sel = np.flatnonzero(mask)[idx]
-            out_q.extend([int(qi_ids[qi])] * kk)
-            out_v.extend(ids[sel].tolist())
-            out_s.extend(sims[idx].tolist())
-        return pa.table(
-            {
-                "query_id": pa.array(out_q, pa.int64()),
-                "vec_id": pa.array(out_v, pa.int64()),
-                "cosine": pa.array(out_s, pa.float64()),
-            }
-        )
-
-    partials = ds.map_batches(batch_probe, batch_format="pyarrow").to_pandas()
-    return _merge_topk(partials, k)
+    q_mat = np.stack(qsel["embedding"].to_numpy()).astype(np.float64)
+    owns = index_dir is None
+    idx = index_dir or tempfile.mkdtemp(prefix="ivf_index_")
+    try:
+        build_ivf_index(ds, idx, n_clusters=n_clusters, sample_rows=sample_rows)
+        return ivf_search_index(idx, q_ids, q_mat, k=k, nprobe=nprobe)
+    finally:
+        if owns:
+            shutil.rmtree(idx, ignore_errors=True)

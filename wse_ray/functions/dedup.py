@@ -1,6 +1,6 @@
 """Deduplication operators: exact, MinHash+LSH, SimHash, embedding-cosine.
 
-Scale shapes (ray_guide.md patterns):
+Scale shapes:
 
 * exact:     content-hash column in map_batches -> groupby(hash) ->
              keep min doc_id per group (one shuffle of (hash, doc_id) pairs,
@@ -19,6 +19,7 @@ Scale shapes (ray_guide.md patterns):
 from __future__ import annotations
 
 import hashlib
+import os
 from functools import partial
 
 import numpy as np
@@ -144,56 +145,184 @@ def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+class _AssignBucketPart:
+    """Shuffle key for the LSH bucket join: hash(band_id, band_hash) % B.
+    A bucket's rows land in exactly one storage partition, so one task per
+    partition sees every bucket it owns COMPLETE."""
+
+    def __init__(self, n_parts: int):
+        self.B = n_parts
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        h = batch["band_hash"].to_numpy().astype(np.uint64)
+        b = batch["band_id"].to_numpy().astype(np.uint64)
+        mixed = (h ^ (b * np.uint64(0x9E3779B97F4A7C15))) * np.uint64(
+            0xC2B2AE3D27D4EB4F
+        )
+        part = (mixed % np.uint64(self.B)).astype(np.int64)
+        return batch.append_column("bpart", pa.array(part, pa.int64()))
+
+
+def _emit_bucket_pairs(spec: pa.Table) -> pa.Table:
+    """One storage-shuffle partition -> candidate pairs (a < b), deduped
+    within the partition.  Partition size is corpus/B band rows — bounded by
+    choosing B, never driver-resident."""
+    import pyarrow.parquet as pq
+
+    df = pq.read_table(
+        spec["src"][0].as_py(), columns=["band_id", "band_hash", "doc_id"]
+    ).to_pandas()
+    dup = df.duplicated(["band_id", "band_hash"], keep=False)
+    frames = [
+        _bucket_pairs(g)
+        for _, g in df[dup].groupby(["band_id", "band_hash"], sort=False)
+    ]
+    out = (
+        pd.concat(frames, ignore_index=True).drop_duplicates()
+        if frames
+        else pd.DataFrame({"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64)})
+    )
+    return pa.table(
+        {"a": pa.array(out["a"], pa.int64()), "b": pa.array(out["b"], pa.int64())}
+    )
+
+
+class _FilterDocTexts:
+    """Broadcast-filter text fetch: keep only rows whose doc_id is in the
+    (small) candidate set — the corpus streams, only candidate texts return."""
+
+    def __init__(self, ids_ref):
+        self.ids_ref = ids_ref
+        self._ids = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+
+        if self._ids is None:
+            self._ids = ray.get(self.ids_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = np.isin(ids, self._ids)
+        return batch.select(["doc_id", "text"]).filter(pa.array(mask))
+
+
+class _VerifyJaccard:
+    """map_batches over candidate-pair rows: exact shingle-Jaccard with the
+    candidate texts broadcast once per actor (ray.put'd dict)."""
+
+    def __init__(self, texts_ref, threshold: float, shingle_k: int):
+        self.texts_ref = texts_ref
+        self.threshold = threshold
+        self.k = shingle_k
+        self._texts = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+
+        if self._texts is None:
+            self._texts = ray.get(self.texts_ref)
+        out_a, out_b, out_j = [], [], []
+        for a, b in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
+            j = jaccard(self._texts[a], self._texts[b], self.k)
+            if j >= self.threshold:
+                out_a.append(a)
+                out_b.append(b)
+                out_j.append(round(j, 6))
+        return pa.table(
+            {
+                "a": pa.array(out_a, pa.int64()),
+                "b": pa.array(out_b, pa.int64()),
+                "jaccard": pa.array(out_j, pa.float64()),
+            }
+        )
+
+
 def minhash_dedup_pairs(
     ds,
     threshold: float = 0.8,
     num_perm: int = 64,
     bands: int = 16,
     shingle_k: int = 3,
+    scratch_dir: str | None = None,
+    bucket_parts: int = 16,
 ):
     """Verified near-dup pairs (a < b, exact shingle-Jaccard >= threshold).
 
     LSH recall depends on (bands, rows): P(candidate) = 1-(1-j^r)^b.
-    The candidate set and the verify join are both tiny relative to the
-    corpus, so only (band rows) shuffle.
+
+    Scale shape — nothing corpus-sized ever reaches the driver:
+    1. (band_id, band_hash, doc_id) rows hash-partition by bucket to
+       storage (the index build's "storage is the shuffle" pattern,
+       index/build.py); a Ray groupby over millions of tiny buckets is the
+       wrong tool at any scale.
+    2. One task per partition emits its buckets' candidate pairs.
+    3. Candidate doc texts are fetched with a broadcast-filter join
+       (candidate-id set is ray.put once; the corpus streams past it) and
+    4. pairs verify by exact Jaccard in a map_batches with the candidate
+       texts broadcast.  Driver memory is O(candidates), not O(corpus).
     """
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    import ray
+    import ray.data
+
     bands_ds = ds.map_batches(
         MinHashBands(num_perm, bands, shingle_k), batch_format="pyarrow"
     )
-    # band rows are tiny (docs x bands); bucket-join on the driver.  At
-    # 10^12-doc scale this becomes a hash-partitioned parquet write + one
-    # pair-emitting task per bucket range (the same storage-shuffle pattern
-    # as the index build) — a Ray groupby over millions of 1-row buckets is
-    # the wrong tool at any scale.
-    rows = bands_ds.to_pandas()
-    dup_mask = rows.duplicated(["band_id", "band_hash"], keep=False)
-    buckets = rows[dup_mask]
-    cand_frames = [
-        _bucket_pairs(g) for _, g in buckets.groupby(["band_id", "band_hash"], sort=False)
-    ]
-    cand = (
-        pd.concat(cand_frames, ignore_index=True)
-        if cand_frames
-        else pd.DataFrame({"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64)})
+    owns_scratch = scratch_dir is None
+    scratch = scratch_dir or tempfile.mkdtemp(prefix="minhash_lsh_")
+    empty = pd.DataFrame(
+        {
+            "a": pd.Series(dtype=np.int64),
+            "b": pd.Series(dtype=np.int64),
+            "jaccard": pd.Series(dtype=float),
+        }
     )
-    cand = cand.drop_duplicates().reset_index(drop=True) if len(cand) else cand
-    if len(cand) == 0:
-        return pd.DataFrame({"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64), "jaccard": pd.Series(dtype=float)})
-    need = set(cand["a"]) | set(cand["b"])
-    texts: dict[int, str] = {}
-    for batch in ds.iter_batches(batch_format="pyarrow"):
-        ids = batch["doc_id"].to_numpy()
-        mask = np.isin(ids, np.array(sorted(need)))
-        for i in np.flatnonzero(mask):
-            texts[int(ids[i])] = batch["text"][int(i)].as_py()
-    rows = []
-    for a, b in zip(cand["a"], cand["b"]):
-        j = jaccard(texts[int(a)], texts[int(b)], shingle_k)
-        if j >= threshold:
-            rows.append((int(a), int(b), round(j, 6)))
-    rows.sort()
-    return pd.DataFrame(rows, columns=["a", "b", "jaccard"]).astype(
-        {"a": np.int64, "b": np.int64, "jaccard": float}
+    try:
+        bands_ds.map_batches(
+            _AssignBucketPart(bucket_parts), batch_format="pyarrow"
+        ).write_parquet(scratch, partition_cols=["bpart"], compression="zstd")
+        specs = [
+            {"src": d} for d in sorted(_glob.glob(os.path.join(scratch, "bpart=*")))
+        ]
+        if not specs:
+            return empty
+        cand = (
+            ray.data.from_items(specs)
+            .map_batches(_emit_bucket_pairs, batch_size=1, batch_format="pyarrow")
+            .to_pandas()
+        )
+        # candidate set is tiny relative to the corpus (dup clusters only);
+        # cross-partition duplicates (same pair from different bands) drop here
+        cand = cand.drop_duplicates().reset_index(drop=True)
+        if len(cand) == 0:
+            return empty
+        need = np.unique(np.concatenate([cand["a"].to_numpy(), cand["b"].to_numpy()]))
+        ids_ref = ray.put(need)
+        texts_df = (
+            ds.map_batches(_FilterDocTexts(ids_ref), batch_format="pyarrow").to_pandas()
+        )
+        texts_ref = ray.put(
+            dict(zip(texts_df["doc_id"].astype(int), texts_df["text"]))
+        )
+        verified = (
+            ray.data.from_pandas(cand)
+            .map_batches(
+                _VerifyJaccard(texts_ref, threshold, shingle_k),
+                batch_format="pyarrow",
+            )
+            .to_pandas()
+        )
+    finally:
+        if owns_scratch:
+            shutil.rmtree(scratch, ignore_errors=True)
+    if len(verified) == 0:
+        return empty
+    return (
+        verified.sort_values(["a", "b"])
+        .reset_index(drop=True)
+        .astype({"a": np.int64, "b": np.int64, "jaccard": float})
     )
 
 
@@ -259,44 +388,132 @@ def simhash_pairs(ds, max_hamming: int = 3) -> pd.DataFrame:
 # --------------------------------------------------------------------------
 
 
-def embedding_dup_pairs(ds, tau: float = 0.95) -> pd.DataFrame:
-    """Pairs (a<b) with cosine similarity >= tau over an embedding column.
+class _AssignCells:
+    """map_batches: replicate each vector row to its ``multi_assign``
+    nearest IVF cells (cell = partition key of the pair stage).  Multi-
+    assignment catches near-dup pairs that straddle a cell boundary: two
+    vectors at cosine >= tau sit close in space, so they share at least one
+    of their top cells with high probability."""
 
-    Test-scale: broadcast the (normalized) full matrix once with ray.put and
-    matmul each batch against it.  At 10^12 scale the same stage runs per
-    LSH/IVF bucket (see ann.py) so the broadcast is per-bucket.
-    """
-    import ray
+    def __init__(self, centers_ref, multi_assign: int):
+        self.centers_ref = centers_ref
+        self.m = multi_assign
+        self._centers = None
 
-    tbl = ds.select_columns(["vec_id", "embedding"]).to_pandas()
-    ids = tbl["vec_id"].to_numpy(np.int64)
-    mat = np.stack(tbl["embedding"].to_numpy())
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    mat = mat / np.maximum(norms, 1e-12)
-    ref = ray.put((ids, mat))
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
 
-    def batch_pairs(batch: pa.Table) -> pa.Table:
-        all_ids, all_mat = ray.get(ref)
-        bids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        bm = np.stack(batch["embedding"].to_numpy(zero_copy_only=False))
-        bm = bm / np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-12)
-        sims = bm @ all_mat.T
-        rows_a, rows_b, rows_s = [], [], []
-        for i, a in enumerate(bids):
-            hits = np.flatnonzero(sims[i] >= tau)
-            for j in hits:
-                b = int(all_ids[j])
-                if a < b:
-                    rows_a.append(int(a))
-                    rows_b.append(b)
-                    rows_s.append(round(float(sims[i, j]), 6))
-        return pa.table(
-            {
-                "a": pa.array(rows_a, pa.int64()),
-                "b": pa.array(rows_b, pa.int64()),
-                "cosine": pa.array(rows_s, pa.float64()),
-            }
+        if self._centers is None:
+            self._centers = ray.get(self.centers_ref)
+        mat = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        m = min(self.m, len(self._centers))
+        sims = mat @ self._centers.T
+        top = np.argpartition(-sims, m - 1, axis=1)[:, :m]
+        take = np.repeat(np.arange(len(mat)), m)
+        out = batch.select(["vec_id", "embedding"]).take(pa.array(take))
+        return out.append_column(
+            "cell", pa.array(top.ravel().astype(np.int64), pa.int64())
         )
 
-    out = ds.map_batches(batch_pairs, batch_format="pyarrow").to_pandas()
-    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+def _cell_pairs_task(spec: pa.Table, tau: float) -> pa.Table:
+    """One IVF cell -> its internal cosine >= tau pairs (a < b).  Cell size
+    is ~multi_assign * N / n_clusters vectors — bounded by cluster count."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(spec["src"][0].as_py(), columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq, first = np.unique(ids, return_index=True)
+    mat = np.stack(t["embedding"].to_numpy(zero_copy_only=False))[first].astype(
+        np.float64
+    )
+    ids = uniq
+    if len(ids) < 2:
+        return pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    sims = mat @ mat.T
+    ia, ib = np.nonzero(np.triu(sims >= tau, k=1))
+    return pa.table(
+        {
+            "a": pa.array(ids[ia], pa.int64()),
+            "b": pa.array(ids[ib], pa.int64()),
+            "cosine": pa.array(np.round(sims[ia, ib], 6), pa.float64()),
+        }
+    )
+
+
+def embedding_dup_pairs(
+    ds,
+    tau: float = 0.95,
+    n_clusters: int = 32,
+    multi_assign: int = 2,
+    sample_rows: int = 4000,
+    scratch_dir: str | None = None,
+) -> pd.DataFrame:
+    """Pairs (a<b) with cosine similarity >= tau over an embedding column.
+
+    Scale shape: vectors route to their ``multi_assign`` nearest IVF cells
+    (centroids from a driver-side sample, broadcast once), the cell is the
+    storage partition key, and the pair stage runs PER CELL — an all-pairs
+    matmul only within each bounded cell, never against the whole corpus,
+    and nothing corpus-sized on the driver.  Recall is approximate (a pair
+    is found iff it shares a cell) but near-1 at near-dup thresholds; for
+    an exact blocked variant over a semantic key see
+    pipelines/engine_queries.q_dedup_embedding.
+    """
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    import ray
+    import ray.data
+
+    from .ann import _kmeans, _normalize
+
+    sample = ds.limit(sample_rows).to_pandas()
+    centers = _kmeans(
+        _normalize(np.stack(sample["embedding"].to_numpy()).astype(np.float64)),
+        n_clusters,
+    )
+    centers_ref = ray.put(centers)
+    owns_scratch = scratch_dir is None
+    scratch = scratch_dir or tempfile.mkdtemp(prefix="embdup_cells_")
+    try:
+        ds.map_batches(
+            _AssignCells(centers_ref, multi_assign), batch_format="pyarrow"
+        ).write_parquet(scratch, partition_cols=["cell"], compression="zstd")
+        specs = [
+            {"src": d} for d in sorted(_glob.glob(os.path.join(scratch, "cell=*")))
+        ]
+        if not specs:
+            return pd.DataFrame(
+                {
+                    "a": pd.Series(dtype=np.int64),
+                    "b": pd.Series(dtype=np.int64),
+                    "cosine": pd.Series(dtype=float),
+                }
+            )
+        out = (
+            ray.data.from_items(specs)
+            .map_batches(
+                partial(_cell_pairs_task, tau=tau), batch_size=1, batch_format="pyarrow"
+            )
+            .to_pandas()
+        )
+    finally:
+        if owns_scratch:
+            shutil.rmtree(scratch, ignore_errors=True)
+    return (
+        out.drop_duplicates(["a", "b"])
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )

@@ -266,10 +266,14 @@ def q_search_snippets(sf_dir: str) -> pd.DataFrame:
 
     eng = get_engine(sf_dir)
     frames = []
-    for qid, q in [(0, "dup join"), (1, "sort merge scan")]:
-        res = eng.search_batch(
-            [{"query_id": qid, "query": q, "mode": "disjunctive", "k": 5}]
-        )
+    # one query whose top-k is zero-padding docs (empty snippets — faithful
+    # dense-array semantics) and one conjunctive query whose candidates
+    # contain mid-text matches (non-empty snippet path exercised end-to-end)
+    for qid, q, mode in [
+        (0, "dup join", "disjunctive"),
+        (1, "dup table", "conjunctive"),
+    ]:
+        res = eng.search_batch([{"query_id": qid, "query": q, "mode": mode, "k": 5}])
         res["query"] = q
         frames.append(res)
     res = pd.concat(frames, ignore_index=True)
@@ -360,39 +364,37 @@ def _emb_ds(sf_dir: str):
 
 
 def q_dedup_embedding(sf_dir: str) -> pd.DataFrame:
-    """Same-label cosine >= 0.4 pairs (label is the blocking key)."""
-    import ray
+    """Same-label cosine >= 0.4 pairs (label is the blocking key).
 
-    tbl = _emb_ds(sf_dir).to_pandas()
-    ids = tbl["vec_id"].to_numpy(np.int64)
-    labels = tbl["label"].to_numpy(np.int64)
-    mat = np.stack(tbl["embedding"].to_numpy()).astype(np.float64)
-    ref = ray.put((ids, labels, mat))
+    Exact blocked pair stage: groupby(label) shuffles only the vectors and
+    each group's all-pairs matmul is bounded by the block size — no full-
+    matrix broadcast, nothing corpus-sized on the driver (the generic
+    no-blocking-key variant is functions/dedup.embedding_dup_pairs, which
+    derives its blocks from IVF cells instead)."""
 
-    def batch_pairs(batch: pa.Table) -> pa.Table:
-        a_ids, a_lab, a_mat = ray.get(ref)
-        bids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        blab = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+    def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
         from ..functions.ann import cosine_matrix_duckdb
 
-        bm = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
-        sims = np.round(cosine_matrix_duckdb(bm, a_mat), 6)
-        ra, rb, rs = [], [], []
-        for i in range(len(bids)):
-            ok = (sims[i] >= 0.4) & (a_lab == blab[i]) & (a_ids > bids[i])
-            for j in np.flatnonzero(ok):
-                ra.append(int(bids[i]))
-                rb.append(int(a_ids[j]))
-                rs.append(float(sims[i, j]))
-        return pa.table(
-            {
-                "a": pa.array(ra, pa.int64()),
-                "b": pa.array(rb, pa.int64()),
-                "cosine": pa.array(rs, pa.float64()),
-            }
+        g = g.sort_values("vec_id")
+        ids = g["vec_id"].to_numpy(np.int64)
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64),
+                 "cosine": pd.Series(dtype=float)}
+            )
+        mat = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        sims = np.round(cosine_matrix_duckdb(mat, mat), 6)
+        ia, ib = np.nonzero(np.triu(sims >= 0.4, k=1))
+        return pd.DataFrame(
+            {"a": ids[ia], "b": ids[ib], "cosine": sims[ia, ib]}
         )
 
-    out = _emb_ds(sf_dir).map_batches(batch_pairs, batch_format="pyarrow").to_pandas()
+    out = (
+        _emb_ds(sf_dir)
+        .groupby("label")
+        .map_groups(group_pairs, batch_format="pandas")
+        .to_pandas()
+    )
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
@@ -434,5 +436,6 @@ def q_multimodal_meta(sf_dir: str) -> pd.DataFrame:
             "height": np.int64,
             "channels": np.int64,
             "n_bytes": np.int64,
+            "decoded": np.int64,  # 0/1 so the DuckDB oracle types align
         }
     ).sort_values("media_id").reset_index(drop=True)

@@ -188,6 +188,98 @@ SELECT min(doc_id)::BIGINT AS doc_id, md5(text) AS text_hash,
 FROM documents GROUP BY md5(text) ORDER BY doc_id"""
 
 
+def sql_dedup_minhash() -> str:
+    # INDEPENDENT exact oracle: ground-truth shingle-Jaccard over all pairs.
+    # The Ray pipeline goes through MinHash+LSH candidates first; at the
+    # gate's threshold (0.5) the planted near-dups all have Jaccard >= 0.9,
+    # where 16-band/4-row LSH recall is 1 - (1 - j^4)^16 ~ 1, so the
+    # candidate route and the exhaustive oracle agree exactly (verified:
+    # identical pairs AND 6-dp jaccard values at sf0.01/sf0.1).
+    return """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS parts FROM documents
+),
+tp AS (
+  SELECT doc_id, i, parts[i] AS term, len(parts) AS n
+  FROM toks, unnest(generate_series(1, len(parts))) AS g(i)
+  WHERE parts[i] <> ''
+),
+sh3 AS (
+  SELECT a.doc_id, a.term || ' ' || b.term || ' ' || c.term AS shingle
+  FROM tp a JOIN tp b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+            JOIN tp c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+  WHERE a.n >= 3
+),
+shsmall AS (
+  SELECT doc_id, string_agg(term, ' ' ORDER BY i) AS shingle
+  FROM tp WHERE n < 3 GROUP BY doc_id
+),
+sh AS (SELECT DISTINCT * FROM (SELECT * FROM sh3 UNION ALL SELECT * FROM shsmall)),
+cnt AS (SELECT doc_id, count(*)::BIGINT AS c FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*)::BIGINT AS i
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.a, i.b, round(i.i::DOUBLE / (ca.c + cb.c - i.i), 6) AS jaccard
+FROM inter i JOIN cnt ca ON ca.doc_id = i.a JOIN cnt cb ON cb.doc_id = i.b
+WHERE i.i::DOUBLE / (ca.c + cb.c - i.i) >= 0.5
+ORDER BY a, b"""
+
+
+def sql_lang_id() -> str:
+    from ..functions.textstats import LANG_MARKERS
+
+    marker_rows = ", ".join(
+        f"('{lang}', '{w}')"
+        for lang in sorted(LANG_MARKERS)
+        for w in sorted(LANG_MARKERS[lang])
+    )
+    # argmax with STRICT > and alphabetical iteration order == order by
+    # (score DESC, lang ASC) rank 1; docs with zero marker hits stay 'und'
+    return f"""
+WITH {_TOK},
+markers(lang, term) AS (VALUES {marker_rows}),
+tokn AS (SELECT doc_id, count(*)::BIGINT AS nt FROM tok GROUP BY doc_id),
+scores AS (
+  SELECT t.doc_id, m.lang, count(*)::DOUBLE AS hits
+  FROM tok t JOIN markers m ON t.term = m.term GROUP BY 1, 2
+),
+best AS (
+  SELECT s.doc_id, s.lang,
+         s.hits / greatest(tn.nt, 1) AS score,
+         row_number() OVER (PARTITION BY s.doc_id
+                            ORDER BY s.hits / greatest(tn.nt, 1) DESC, s.lang) AS rn
+  FROM scores s JOIN tokn tn USING (doc_id)
+)
+SELECT d.doc_id, coalesce(b.lang, 'und') AS pred_lang,
+       round(coalesce(b.score, 0.0), 6) AS confidence
+FROM documents d
+LEFT JOIN (SELECT * FROM best WHERE rn = 1 AND score > 0) b USING (doc_id)
+ORDER BY doc_id"""
+
+
+def sql_multimodal_meta() -> str:
+    # the stub decoder is pure byte arithmetic over the payload (= utf-8 of
+    # documents.text, ASCII in the testdata): w=16+b0%240, h=16+b1%240,
+    # c=1+b2%3, byte_mean = mean byte value; decoded=0 when len < 4
+    return """
+WITH chars AS (
+  SELECT doc_id, avg(ascii(text[i]))::DOUBLE AS byte_mean
+  FROM documents, unnest(generate_series(1, length(text))) AS g(i)
+  GROUP BY doc_id
+)
+SELECT d.doc_id AS media_id,
+       CASE WHEN length(d.text) >= 4 THEN 16 + ascii(d.text[1]) % 240 ELSE 0 END::BIGINT AS width,
+       CASE WHEN length(d.text) >= 4 THEN 16 + ascii(d.text[2]) % 240 ELSE 0 END::BIGINT AS height,
+       CASE WHEN length(d.text) >= 4 THEN 1 + ascii(d.text[3]) % 3 ELSE 0 END::BIGINT AS channels,
+       length(d.text)::BIGINT AS n_bytes,
+       CASE WHEN length(d.text) >= 4 THEN round(c.byte_mean, 6) ELSE 0.0 END AS byte_mean,
+       (length(d.text) >= 4)::BIGINT AS decoded
+FROM documents d LEFT JOIN chars c USING (doc_id)
+ORDER BY media_id"""
+
+
 def sql_dedup_embedding() -> str:
     return """
 SELECT a.vec_id::BIGINT AS a, b.vec_id::BIGINT AS b,
@@ -292,6 +384,41 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 ORDER BY c_custkey"""
 
 
+def sql_search_snippets() -> str:
+    from .goldens import SNIPPETS_GOLDEN_SF001
+
+    # pinned-golden oracle (see goldens.py docstring): algorithm semantics
+    # are pytest-pinned; this VALUES table gates end-to-end drift at sf0.01
+    return f"""
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank,
+       doc_id::BIGINT AS doc_id, snippet::VARCHAR AS snippet
+FROM (VALUES {SNIPPETS_GOLDEN_SF001}) AS t(query_id, rank, doc_id, snippet)
+ORDER BY query_id, rank"""
+
+
+def sql_dedup_simhash() -> str:
+    from .goldens import SIMHASH_GOLDEN_SF001
+
+    # pinned-golden oracle: simhash64 uses pandas' 64-bit token hash, which
+    # SQL cannot recompute independently; banding+Hamming are pytest-pinned
+    return f"""
+SELECT a::BIGINT AS a, b::BIGINT AS b, hamming::BIGINT AS hamming
+FROM (VALUES {SIMHASH_GOLDEN_SF001}) AS t(a, b, hamming)
+ORDER BY a, b"""
+
+
+def sql_ann_ivf() -> str:
+    from .goldens import ANN_IVF_GOLDEN_SF001
+
+    # pinned-golden oracle: IVF is approximate by design (recall pinned by
+    # pytest vs brute force); the pin gates centroid/probe determinism
+    return f"""
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank,
+       vec_id::BIGINT AS vec_id, cosine::DOUBLE AS cosine
+FROM (VALUES {ANN_IVF_GOLDEN_SF001}) AS t(query_id, rank, vec_id, cosine)
+ORDER BY query_id, rank"""
+
+
 def oracle_sql_map() -> dict[str, str]:
     return {
         "postings": sql_postings(),
@@ -302,10 +429,16 @@ def oracle_sql_map() -> dict[str, str]:
         "bm25_disjunctive": sql_bm25_disjunctive(),
         "bm25_conjunctive": sql_bm25_conjunctive(),
         "bm25_sharded": sql_bm25_disjunctive(),
+        "search_snippets": sql_search_snippets(),
+        "dedup_simhash": sql_dedup_simhash(),
+        "ann_ivf": sql_ann_ivf(),
         "token_counts": sql_token_counts(),
         "doc_quality": sql_doc_quality(),
         "fingerprint_md5": sql_fingerprint_md5(),
         "dedup_exact": sql_dedup_exact(),
+        "dedup_minhash": sql_dedup_minhash(),
+        "lang_id": sql_lang_id(),
+        "multimodal_meta": sql_multimodal_meta(),
         "dedup_embedding": sql_dedup_embedding(),
         "ann_topk": sql_ann_topk(),
         "pricing_summary": sql_pricing_summary(),
