@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_disjunctive": eq.q_bm25_disjunctive,
         "bm25_conjunctive": eq.q_bm25_conjunctive,
         "bm25_sharded": eq.q_bm25_sharded,  # doc-sharded scatter-gather
+        "bm25_trec": eq.q_bm25_trec,  # TREC tokenizer quirks end-to-end
         "search_snippets": eq.q_search_snippets,  # N1-N6 dispatch (pinned-golden oracle)
         # text analysis
         "token_counts": eq.q_token_counts,

@@ -147,3 +147,20 @@ def test_ivf_partition_pruned_index(vec_ds, tmp_path):
     # build is resumable: second call loads centroids without rewriting
     import numpy.testing as npt
     npt.assert_array_equal(build_ivf_index(vec_ds, idx, n_clusters=8), np.load(idx + "/centroids.npy"))
+
+
+def test_simhash_batch_equals_scalar():
+    from hypothesis import given, settings, strategies as st
+    import pyarrow as pa
+    from wse_ray.functions.textstats import _flat_tf, _simhash64_batch, simhash64
+
+    @given(st.lists(st.text(alphabet="abc xyz.,", max_size=60), min_size=1, max_size=8))
+    @settings(max_examples=40, deadline=None)
+    def check(texts):
+        batch = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+        terms, tfs, off, _ = _flat_tf(batch)
+        got = _simhash64_batch(terms, tfs, off)
+        want = [simhash64(t.encode()) for t in texts]
+        assert got.tolist() == want
+
+    check()

@@ -47,6 +47,7 @@ SQL_CHECKED = [
     "bm25_disjunctive",
     "bm25_conjunctive",
     "bm25_sharded",
+    "bm25_trec",
     "token_counts",
     "doc_quality",
     "fingerprint_md5",

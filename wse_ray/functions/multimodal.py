@@ -7,7 +7,7 @@ for PIL/libsndfile in production.
 
 Binary payload batches are large: callers should use a small ``batch_size``
 and ``batch_format="pyarrow"`` (binary columns don't round-trip pandas
-cleanly — ray_guide.md pitfalls).
+cleanly).
 """
 from __future__ import annotations
 

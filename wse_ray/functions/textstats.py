@@ -3,18 +3,24 @@
 All are stateless vectorized ``map_batches`` stages over a text column:
 token counting, quality scoring, language ID (n-gram/stopword heuristic),
 and document fingerprinting.  Each has a ``queries()`` entry over the
-``documents`` table; the SQL-expressible ones carry DuckDB oracles.
+``documents`` table with a DuckDB oracle.
+
+Vectorization: every stage tokenizes the WHOLE batch through the span
+machinery of stages/vectorized_tokenize.tokenize_batch (one LUT gather +
+one dictionary_encode, zero per-token Python objects) and reduces per-doc
+with cumsum-difference segment sums — no ``for row in batch`` loops in any
+hot path.  Only md5 (C hashlib) runs per document.
 """
 from __future__ import annotations
 
 import hashlib
-import math
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
-from ..tokenizer import tokenize_simple
+from ..stages.vectorized_tokenize import tokenize_batch
 
 # small built-in stopword list (engine + SQL oracle share it verbatim)
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
@@ -32,20 +38,38 @@ LANG_MARKERS: dict[str, frozenset] = {
 _LANG_ORDER = tuple(sorted(LANG_MARKERS))
 
 
+def _text_col(batch: pa.Table) -> pa.Array:
+    col = batch["text"]
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+
+def _flat_tf(batch: pa.Table):
+    """Batch-tokenized view: (flat unique terms, flat tfs, per-doc list
+    offsets, per-doc byte lengths).  Simple mode (trailing token flushed)
+    so the DuckDB oracles stay exact."""
+    terms_list, tfs_list, datalens, _wordnums = tokenize_batch(
+        _text_col(batch), "simple"
+    )
+    offsets = np.asarray(terms_list.offsets)
+    flat_terms = terms_list.values
+    flat_tfs = tfs_list.values.to_numpy().astype(np.int64)
+    return flat_terms, flat_tfs, offsets, datalens
+
+
+def _segsum(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Per-document sums of a flat per-term array (empty-segment safe)."""
+    csum = np.concatenate(([0], np.cumsum(values, dtype=np.int64)))
+    return csum[offsets[1:]] - csum[offsets[:-1]]
+
+
 def token_stats(batch: pa.Table) -> pa.Table:
     """(doc_id, n_tokens, n_distinct) per document."""
-    texts = batch["text"].to_pylist()
-    n_tok = np.empty(len(texts), np.int64)
-    n_dis = np.empty(len(texts), np.int64)
-    for i, t in enumerate(texts):
-        toks = tokenize_simple(t.encode("utf-8"))
-        n_tok[i] = len(toks)
-        n_dis[i] = len(set(toks))
+    _terms, tfs, off, _dl = _flat_tf(batch)
     return pa.table(
         {
             "doc_id": batch["doc_id"],
-            "n_tokens": pa.array(n_tok),
-            "n_distinct": pa.array(n_dis),
+            "n_tokens": pa.array(_segsum(tfs, off)),
+            "n_distinct": pa.array((off[1:] - off[:-1]).astype(np.int64)),
         }
     )
 
@@ -53,81 +77,126 @@ def token_stats(batch: pa.Table) -> pa.Table:
 def quality_score(batch: pa.Table) -> pa.Table:
     """Heuristic quality features: length, distinct ratio, stopword ratio,
     mean token length — the usual web-corpus filtering signals."""
-    texts = batch["text"].to_pylist()
-    n = len(texts)
-    cols = {k: np.zeros(n) for k in ("n_chars", "n_tokens", "distinct_ratio", "stopword_ratio", "mean_token_len")}
-    stop = set(s.encode() for s in STOPWORDS)
-    for i, t in enumerate(texts):
-        data = t.encode("utf-8")
-        toks = tokenize_simple(data)
-        nt = len(toks)
-        cols["n_chars"][i] = len(data)
-        cols["n_tokens"][i] = nt
-        cols["distinct_ratio"][i] = (len(set(toks)) / nt) if nt else 0.0
-        cols["stopword_ratio"][i] = (sum(1 for w in toks if w in stop) / nt) if nt else 0.0
-        cols["mean_token_len"][i] = (sum(len(w) for w in toks) / nt) if nt else 0.0
-    out = {"doc_id": batch["doc_id"]}
-    out.update({k: pa.array(v) for k, v in cols.items()})
-    return pa.table(out)
-
-
-def lang_id(batch: pa.Table) -> pa.Table:
-    """Deterministic language-ID heuristic: marker-word hit ratio per
-    language, argmax with fixed alphabetical tie order."""
-    texts = batch["text"].to_pylist()
-    preds, confs = [], []
-    for t in texts:
-        toks = [w.decode("utf-8", "replace") for w in tokenize_simple(t.encode())]
-        nt = max(1, len(toks))
-        best_lang, best = "und", 0.0
-        for lang in _LANG_ORDER:
-            score = sum(1 for w in toks if w in LANG_MARKERS[lang]) / nt
-            if score > best:
-                best_lang, best = lang, score
-        preds.append(best_lang)
-        confs.append(round(best, 6))
+    terms, tfs, off, datalens = _flat_tf(batch)
+    n_tokens = _segsum(tfs, off).astype(np.float64)
+    n_distinct = (off[1:] - off[:-1]).astype(np.float64)
+    stop_set = pa.array([s.encode() for s in STOPWORDS], pa.large_binary())
+    stop_mask = pc.is_in(terms, value_set=stop_set).to_numpy(zero_copy_only=False)
+    n_stop = _segsum(tfs * stop_mask, off).astype(np.float64)
+    tok_chars = _segsum(
+        tfs * pc.binary_length(terms).to_numpy().astype(np.int64), off
+    ).astype(np.float64)
+    safe = np.maximum(n_tokens, 1.0)
+    nz = n_tokens > 0
     return pa.table(
         {
             "doc_id": batch["doc_id"],
-            "pred_lang": pa.array(preds, pa.string()),
-            "confidence": pa.array(confs, pa.float64()),
+            "n_chars": pa.array(datalens.astype(np.float64)),
+            "n_tokens": pa.array(n_tokens),
+            "distinct_ratio": pa.array(np.where(nz, n_distinct / safe, 0.0)),
+            "stopword_ratio": pa.array(np.where(nz, n_stop / safe, 0.0)),
+            "mean_token_len": pa.array(np.where(nz, tok_chars / safe, 0.0)),
         }
     )
 
 
-def _rolling_hash64(data: bytes, base: int = 1000003, mod: int = (1 << 61) - 1) -> int:
-    h = 0
-    for b in data:
-        h = (h * base + b) % mod
-    return h
+def lang_id(batch: pa.Table) -> pa.Table:
+    """Deterministic language-ID heuristic: marker-word hit ratio per
+    language, argmax with fixed alphabetical tie order (strict >, so equal
+    scores keep the alphabetically first language; zero hits -> 'und')."""
+    terms, tfs, off, _dl = _flat_tf(batch)
+    n_docs = len(off) - 1
+    nt = np.maximum(_segsum(tfs, off), 1).astype(np.float64)
+    scores = np.zeros((n_docs, len(_LANG_ORDER)), dtype=np.float64)
+    for li, lang in enumerate(_LANG_ORDER):
+        markers = pa.array(
+            sorted(w.encode() for w in LANG_MARKERS[lang]), pa.large_binary()
+        )
+        mask = pc.is_in(terms, value_set=markers).to_numpy(zero_copy_only=False)
+        scores[:, li] = _segsum(tfs * mask, off) / nt
+    best = np.argmax(scores, axis=1)  # first max == alphabetical tie rule
+    best_score = scores[np.arange(n_docs), best]
+    preds = np.where(
+        best_score > 0, np.asarray(_LANG_ORDER, dtype=object)[best], "und"
+    )
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "pred_lang": pa.array(preds.tolist(), pa.string()),
+            "confidence": pa.array(np.round(best_score, 6), pa.float64()),
+        }
+    )
+
+
+def _rolling64_batch(data: np.ndarray, offsets: np.ndarray, base: int = 1000003) -> np.ndarray:
+    """Vectorized polynomial rolling hash mod 2**64 (natural uint64 wrap):
+    one vectorized step per byte POSITION across all docs in the batch
+    instead of a Python loop per byte."""
+    n_docs = len(offsets) - 1
+    lens = offsets[1:] - offsets[:-1]
+    out = np.zeros(n_docs, dtype=np.uint64)
+    if len(data) == 0:
+        return out
+    b = np.uint64(base)
+    max_len = int(lens.max())
+    starts = offsets[:-1]
+    with np.errstate(over="ignore"):
+        for j in range(max_len):
+            live = lens > j
+            idx = starts[live] + j
+            out[live] = out[live] * b + data[idx].astype(np.uint64)
+    return out
+
+
+def _simhash64_batch(terms: pa.Array, tfs: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit simhash (weight = tf): bit (63 - j) of the result
+    is set when the per-doc weighted sum of hash-bit j is positive —
+    bit-identical to the scalar packbits formulation."""
+    n_docs = len(offsets) - 1
+    out = np.zeros(n_docs, dtype=np.uint64)
+    if len(tfs) == 0:
+        return out
+    hashes = pd.util.hash_array(
+        np.asarray(terms.to_pylist(), dtype=object), categorize=False
+    )
+    signed = np.empty(len(tfs), dtype=np.int64)
+    for j in range(64):
+        bit = ((hashes >> np.uint64(j)) & np.uint64(1)).astype(np.int64)
+        np.multiply(bit * 2 - 1, tfs, out=signed)
+        acc = _segsum(signed, offsets)
+        out |= (acc > 0).astype(np.uint64) << np.uint64(63 - j)
+    return out
 
 
 def fingerprints(batch: pa.Table) -> pa.Table:
     """(doc_id, md5, rolling64, simhash64) content fingerprints.
 
     md5 is the exact-dedup key (SQL-parity via DuckDB md5()); rolling64 is a
-    polynomial rolling hash; simhash64 is a 64-bit token-frequency simhash
-    used by near-dup detection.
+    polynomial rolling hash mod 2**64; simhash64 is a 64-bit token-frequency
+    simhash used by near-dup detection.
     """
-    texts = batch["text"].to_pylist()
-    md5s, rolls, sims = [], [], []
-    for t in texts:
-        data = t.encode("utf-8")
-        md5s.append(hashlib.md5(data).hexdigest())
-        rolls.append(_rolling_hash64(data))
-        sims.append(simhash64(data))
+    from ..stages.vectorized_tokenize import _binary_buffer
+
+    terms, tfs, off, _dl = _flat_tf(batch)
+    data, byte_off = _binary_buffer(_text_col(batch))
+    md5s = [
+        hashlib.md5(data[byte_off[i] : byte_off[i + 1]].tobytes()).hexdigest()
+        for i in range(len(byte_off) - 1)
+    ]
     return pa.table(
         {
             "doc_id": batch["doc_id"],
             "md5": pa.array(md5s, pa.string()),
-            "rolling64": pa.array(np.array(rolls, dtype=np.uint64)),
-            "simhash64": pa.array(np.array(sims, dtype=np.uint64)),
+            "rolling64": pa.array(_rolling64_batch(data, byte_off)),
+            "simhash64": pa.array(_simhash64_batch(terms, tfs, off)),
         }
     )
 
 
 def simhash64(data: bytes) -> int:
-    """64-bit simhash over tokens (weight = tf), deterministic hashing."""
+    """Scalar reference simhash (property-tested equal to the batch path)."""
+    from ..tokenizer import tokenize_simple
+
     toks = tokenize_simple(data)
     if not toks:
         return 0

@@ -260,6 +260,58 @@ def q_bm25_conjunctive(sf_dir: str) -> pd.DataFrame:
     return _bm25_results(sf_dir, CONJ_QUERIES, "conjunctive")
 
 
+def _trec_corpus(sf_dir: str):
+    """documents table shaped like the reference's raw docs: the url is the
+    FIRST LINE of the text (hw2/DataLoader.cpp:29-31 drops it)."""
+    ds = corpus_from_documents_table(sf_dir)
+
+    def add_url_line(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        text = pc.binary_join_element_wise(
+            pc.cast(t["url"], pa.large_string()),
+            pc.cast(t["text"], pa.large_string()),
+            pa.scalar("\n", pa.large_string()),
+        )
+        return pa.table({"docID": t["docID"], "url": t["url"], "text": text})
+
+    return ds.map_batches(add_url_line, batch_format="pyarrow")
+
+
+_TREC_CACHE: dict[str, SearchEngine] = {}
+
+
+def q_bm25_trec(sf_dir: str) -> pd.DataFrame:
+    """Disjunctive BM25 through the TREC tokenizer quirks end-to-end:
+    first-line (url) drop, trailing-unflushed-token drop, dataLen = FULL doc
+    bytes including the url line (hw2/DataLoader.cpp:27-70).  The oracle SQL
+    reproduces all three, so the reference-fidelity path is driver-gated,
+    not only pytest-pinned."""
+    if sf_dir not in _TREC_CACHE:
+        import shutil
+
+        out = _index_dir(sf_dir) + "_trec"
+        if not os.path.exists(os.path.join(out, "manifest.json")):
+            shutil.rmtree(out, ignore_errors=True)
+        build_index(
+            lambda: _trec_corpus(sf_dir),
+            out,
+            BuildConfig(num_partitions=8, tokenizer_mode="trec"),
+        )
+        _TREC_CACHE[sf_dir] = SearchEngine(out)
+    eng = _TREC_CACHE[sf_dir]
+    rows = []
+    for qid, q in DISJ_QUERIES:
+        res = eng.search(q, "disjunctive", TOP_K + 20)
+        res = [(int(d), round(float(s), 6)) for d, s in res]
+        res.sort(key=lambda r: (-r[1], r[0]))
+        for rank, (d, s) in enumerate(res[:TOP_K], 1):
+            rows.append((qid, rank, d, s))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"]).astype(
+        {"query_id": np.int64, "rank": np.int64, "doc_id": np.int64, "score": float}
+    )
+
+
 def q_search_snippets(sf_dir: str) -> pd.DataFrame:
     """Search + snippet generation (N1-N6 dispatch; rows-only check)."""
     from ..query.snippets_stage import attach_snippets

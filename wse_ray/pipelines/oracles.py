@@ -152,6 +152,58 @@ SELECT query_id, rank, doc_id, score FROM ranked
 WHERE rank <= {TOP_K} ORDER BY query_id, rank"""
 
 
+def sql_bm25_trec() -> str:
+    # TREC-mode quirks reproduced in SQL: the url first line is dropped
+    # (tokens come from the body only), the trailing unflushed token is
+    # dropped (i <= len(parts) - 1), and dl = FULL doc bytes including the
+    # url line + newline (hw2/DataLoader.cpp:27-70)
+    return f"""
+WITH docs AS (
+  SELECT doc_id, text, 'doc://' || source || '/' || doc_id AS url FROM documents
+),
+pp AS (SELECT doc_id, string_split(text, ' ') AS parts FROM docs),
+tok AS (
+  SELECT doc_id, parts[i] AS term
+  FROM pp, unnest(generate_series(1, len(parts) - 1)) AS g(i)
+  WHERE parts[i] <> ''
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term),
+dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+dl AS (SELECT doc_id, (length(url) + 1 + length(text))::BIGINT AS dl FROM docs),
+stats AS (
+  SELECT count(*)::BIGINT AS n,
+         CAST(floor(sum(dl)::DOUBLE / count(*)) AS BIGINT) AS avgdl
+  FROM dl
+),
+q(query_id, ord, term) AS (VALUES {_query_terms(DISJ_QUERIES)}),
+matches AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(ln((s.n - dft.df + 0.5) / (dft.df + 0.5)) * 2.2 * tf.tf
+             / (1.2 * (0.25 + 0.75 * dl.dl / s.avgdl) + tf.tf)) AS score
+  FROM q
+  JOIN tf USING (term)
+  JOIN dft USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+all_docs AS (
+  SELECT qq.query_id, d.doc_id, coalesce(m.score, 0.0) AS score
+  FROM (SELECT DISTINCT query_id FROM q) qq
+  CROSS JOIN docs d
+  LEFT JOIN matches m ON m.query_id = qq.query_id AND m.doc_id = d.doc_id
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id) AS rank,
+         doc_id, round(score, 6) AS score
+  FROM all_docs
+)
+SELECT query_id, rank, doc_id, score FROM ranked
+WHERE rank <= {TOP_K} ORDER BY query_id, rank"""
+
+
 def sql_token_counts() -> str:
     return f"""WITH {_TOK}
 SELECT doc_id, count(*)::BIGINT AS n_tokens,
@@ -429,6 +481,7 @@ def oracle_sql_map() -> dict[str, str]:
         "bm25_disjunctive": sql_bm25_disjunctive(),
         "bm25_conjunctive": sql_bm25_conjunctive(),
         "bm25_sharded": sql_bm25_disjunctive(),
+        "bm25_trec": sql_bm25_trec(),
         "search_snippets": sql_search_snippets(),
         "dedup_simhash": sql_dedup_simhash(),
         "ann_ivf": sql_ann_ivf(),

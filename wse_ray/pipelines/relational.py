@@ -104,7 +104,7 @@ def q_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
 
 def q_events_window(sf_dir: str) -> pd.DataFrame:
     """Tumbling 1-hour window per event_type (streaming-shaped workload as a
-    batch groupby over floor(ts/1h) — ray_guide.md streaming section)."""
+    batch groupby over floor(ts/1h))."""
     from ray.data.aggregate import Count, Sum
 
     ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
@@ -171,10 +171,20 @@ def q_sessionize(sf_dir: str) -> pd.DataFrame:
     ).sort_values("user_id").reset_index(drop=True)
 
 
+_DISTINCT_BUCKETS = 32
+
+
 def q_distinct_users_daily(sf_dir: str) -> pd.DataFrame:
-    """Distinct count per group with map-side set partials (exact distinct
-    without shuffling raw rows: per-batch unique pairs, then a pandas merge
-    of the vocab-sized partials — the pre-aggregation pattern)."""
+    """Exact distinct count per day, fully distributed:
+
+    1. per-batch unique (day, user) pairs (map-side pre-aggregation — raw
+       rows never shuffle);
+    2. pairs shuffle keyed on (day, hash-bucket of user): each group holds
+       ~1/K of one day's distinct users, so group size stays bounded at any
+       scale (a single-day group would not);
+    3. per-group exact nunique -> tiny (day, bucket, count) partials whose
+       final per-day sum is days x K rows on the driver.
+    """
     ds = _read(sf_dir, "events", ["ts", "user_id"])
 
     def partial(t: pa.Table) -> pa.Table:
@@ -187,15 +197,25 @@ def q_distinct_users_daily(sf_dir: str) -> pd.DataFrame:
             {
                 "day": pa.array(pairs[:, 0].astype("datetime64[D]").astype("datetime64[us]")),
                 "user_id": pa.array(pairs[:, 1]),
+                "bucket": pa.array(pairs[:, 1] % _DISTINCT_BUCKETS),
             }
         )
 
-    pairs = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    out = (
-        pairs.drop_duplicates()
-        .groupby("day", as_index=False)
-        .agg(n_users=("user_id", "nunique"))
+    def bucket_count(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "day": [g["day"].iloc[0]],
+                "n_users_p": [int(g["user_id"].nunique())],
+            }
+        )
+
+    partials = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["day", "bucket"])
+        .map_groups(bucket_count, batch_format="pandas")
+        .to_pandas()  # tiny: days x buckets rows
     )
+    out = partials.groupby("day", as_index=False).agg(n_users=("n_users_p", "sum"))
     out["n_users"] = out["n_users"].astype(np.int64)
     return out.sort_values("day").reset_index(drop=True)
 
