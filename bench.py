@@ -71,6 +71,16 @@ def run_build(corpus_dir: str, out_dir: str, num_partitions: int | None = None) 
     }
 
 
+def _pcts(times_sec: list[float]) -> dict:
+    import numpy as np
+
+    a = np.asarray(times_sec) * 1000.0
+    return {
+        "p50_ms": round(float(np.percentile(a, 50)), 2),
+        "p95_ms": round(float(np.percentile(a, 95)), 2),
+    }
+
+
 def run_queries_bench(index_dir: str) -> dict:
     from wse_ray.fixtures import make_queries
     from wse_ray.query.scorer import SearchEngine
@@ -79,15 +89,22 @@ def run_queries_bench(index_dir: str) -> dict:
     eng = SearchEngine(index_dir)
     startup = time.perf_counter() - t0
     qs = make_queries()
+    per_mode: dict[str, list[float]] = {}
     t0 = time.perf_counter()
     n_results = 0
     for q in qs:
+        tq = time.perf_counter()
         n_results += len(eng.search(q["query"], q["mode"], q["k"]))
+        per_mode.setdefault(q["mode"], []).append(time.perf_counter() - tq)
     qsec = time.perf_counter() - t0
+    pruned_times = []
     t0 = time.perf_counter()
     for q in qs:
         mode = "disjunctive_pruned" if q["mode"] == "disjunctive" else q["mode"]
+        tq = time.perf_counter()
         eng.search(q["query"], mode, q["k"])
+        if mode == "disjunctive_pruned":
+            pruned_times.append(time.perf_counter() - tq)
     psec = time.perf_counter() - t0
     return {
         "startup_sec": round(startup, 3),
@@ -97,6 +114,46 @@ def run_queries_bench(index_dir: str) -> dict:
         "pruned_sec": round(psec, 3),
         "pruned_qps": round(len(qs) / psec, 1),
         "n_results": n_results,
+        "latency": {
+            **{m: _pcts(ts) for m, ts in per_mode.items()},
+            "disjunctive_pruned": _pcts(pruned_times),
+        },
+    }
+
+
+def run_sharded_bench(corpus_dir: str, out_dir: str, num_shards: int = 16) -> dict:
+    """Doc-partitioned build + scatter-gather serving latency (p50/p95)."""
+    from wse_ray.config import BuildConfig
+    from wse_ray.fixtures import make_queries
+    from wse_ray.index.build import build_index
+    from wse_ray.query.sharded import ShardedSearchEngine
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    build_index(
+        corpus_dir,
+        out_dir,
+        BuildConfig(num_partitions=num_shards, partition_by="doc"),
+    )
+    build_sec = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    eng = ShardedSearchEngine(out_dir)
+    eng.search("warmup", "disjunctive", 10)  # actor spin-up out of the timing
+    startup = time.perf_counter() - t0
+    times = []
+    qs = make_queries()
+    for q in qs:
+        tq = time.perf_counter()
+        eng.search(q["query"], q["mode"], q["k"])
+        times.append(time.perf_counter() - tq)
+    total = sum(times)
+    return {
+        "num_shards": num_shards,
+        "build_sec": round(build_sec, 3),
+        "startup_sec": round(startup, 3),
+        "queries": len(qs),
+        "qps": round(len(qs) / total, 1),
+        "latency": _pcts(times),
     }
 
 
@@ -138,6 +195,13 @@ def main() -> None:
     qbench = run_queries_bench(f"{BENCH_OUT}_index_{NUM_CPUS}")
     timings["bm25_queries"] = qbench["sec"]
 
+    sharded = None
+    if os.environ.get("WSE_BENCH_BUILD_ONLY") != "1":
+        sharded = run_sharded_bench(corpus, f"{BENCH_OUT}_index_doc_{NUM_CPUS}")
+        timings["sharded_build_and_queries"] = round(
+            sharded["build_sec"] + sharded["queries"] / sharded["qps"], 3
+        )
+
     if os.environ.get("WSE_BENCH_BUILD_ONLY") != "1":
         from wse_ray.pipelines import engine_queries as eq
         from wse_ray.pipelines import relational as rel
@@ -167,6 +231,8 @@ def main() -> None:
         "build": build,
         "query_bench": qbench,
     }
+    if sharded is not None:
+        out["sharded_bench"] = sharded
     print(json.dumps(out))
     ray.shutdown()
 

@@ -164,3 +164,18 @@ def test_simhash_batch_equals_scalar():
         assert got.tolist() == want
 
     check()
+
+
+def test_ngram_jaccard_exact(docs_ds):
+    """The exact inverted-shingle-index engine must agree with the LSH
+    route on the planted dups (and find the exact-dup pair at jaccard 1)."""
+    from wse_ray.functions.dedup import minhash_dedup_pairs, ngram_jaccard_pairs
+
+    exact = ngram_jaccard_pairs(docs_ds, threshold=0.5)
+    got = dict(zip(zip(exact["a"], exact["b"]), exact["jaccard"]))
+    assert got[(100, 101)] == 1.0
+    lsh = minhash_dedup_pairs(docs_ds, threshold=0.5)
+    lsh_pairs = dict(zip(zip(lsh["a"], lsh["b"]), lsh["jaccard"]))
+    # LSH output is a subset of the exact output with identical jaccards
+    for k, v in lsh_pairs.items():
+        assert got[k] == v

@@ -53,6 +53,7 @@ SQL_CHECKED = [
     "fingerprint_md5",
     "dedup_exact",
     "dedup_minhash",
+    "dedup_ngram",
     "lang_id",
     "multimodal_meta",
     "dedup_embedding",

@@ -187,12 +187,15 @@ def _emit_bucket_pairs(spec: pa.Table) -> pa.Table:
     )
 
 
-class _FilterDocTexts:
-    """Broadcast-filter text fetch: keep only rows whose doc_id is in the
-    (small) candidate set — the corpus streams, only candidate texts return."""
+class _CandidateShingles:
+    """Broadcast-filter + shingle stage: keep only rows whose doc_id is in
+    the (small) candidate set and return their DISTINCT shingle hashes —
+    the corpus streams past; each candidate doc is tokenized exactly once,
+    here, not once per verified pair."""
 
-    def __init__(self, ids_ref):
+    def __init__(self, ids_ref, shingle_k: int):
         self.ids_ref = ids_ref
+        self.k = shingle_k
         self._ids = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -202,27 +205,44 @@ class _FilterDocTexts:
             self._ids = ray.get(self.ids_ref)
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         mask = np.isin(ids, self._ids)
-        return batch.select(["doc_id", "text"]).filter(pa.array(mask))
+        kept = batch.select(["doc_id", "text"]).filter(pa.array(mask))
+        shingles = [
+            np.unique(shingle_hashes(t, self.k))
+            for t in kept["text"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": kept["doc_id"],
+                "shingles": pa.array(
+                    [s.tolist() for s in shingles], pa.large_list(pa.uint64())
+                ),
+            }
+        )
 
 
 class _VerifyJaccard:
-    """map_batches over candidate-pair rows: exact shingle-Jaccard with the
-    candidate texts broadcast once per actor (ray.put'd dict)."""
+    """map_batches over candidate-pair rows: exact Jaccard on the
+    precomputed shingle-hash sets (broadcast once per actor).  Sorted-array
+    intersection == set Jaccard on the same hashes."""
 
-    def __init__(self, texts_ref, threshold: float, shingle_k: int):
-        self.texts_ref = texts_ref
+    def __init__(self, shingles_ref, threshold: float):
+        self.shingles_ref = shingles_ref
         self.threshold = threshold
-        self.k = shingle_k
-        self._texts = None
+        self._sh = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import ray
 
-        if self._texts is None:
-            self._texts = ray.get(self.texts_ref)
+        if self._sh is None:
+            self._sh = ray.get(self.shingles_ref)
         out_a, out_b, out_j = [], [], []
         for a, b in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
-            j = jaccard(self._texts[a], self._texts[b], self.k)
+            sa, sb = self._sh[a], self._sh[b]
+            if len(sa) == 0 and len(sb) == 0:
+                j = 1.0
+            else:
+                inter = len(np.intersect1d(sa, sb, assume_unique=True))
+                j = inter / (len(sa) + len(sb) - inter)
             if j >= self.threshold:
                 out_a.append(a)
                 out_b.append(b)
@@ -300,16 +320,20 @@ def minhash_dedup_pairs(
             return empty
         need = np.unique(np.concatenate([cand["a"].to_numpy(), cand["b"].to_numpy()]))
         ids_ref = ray.put(need)
-        texts_df = (
-            ds.map_batches(_FilterDocTexts(ids_ref), batch_format="pyarrow").to_pandas()
+        sh_df = ds.map_batches(
+            _CandidateShingles(ids_ref, shingle_k), batch_format="pyarrow"
+        ).to_pandas()
+        shingles_ref = ray.put(
+            {
+                int(i): np.asarray(s, dtype=np.uint64)
+                for i, s in zip(sh_df["doc_id"], sh_df["shingles"])
+            }
         )
-        texts_ref = ray.put(
-            dict(zip(texts_df["doc_id"].astype(int), texts_df["text"]))
-        )
+        n_blocks = max(1, min(256, len(cand) // 20000 + 1))
         verified = (
-            ray.data.from_pandas(cand)
+            ray.data.from_pandas(cand, override_num_blocks=n_blocks)
             .map_batches(
-                _VerifyJaccard(texts_ref, threshold, shingle_k),
+                _VerifyJaccard(shingles_ref, threshold),
                 batch_format="pyarrow",
             )
             .to_pandas()
@@ -324,6 +348,173 @@ def minhash_dedup_pairs(
         .reset_index(drop=True)
         .astype({"a": np.int64, "b": np.int64, "jaccard": float})
     )
+
+
+# --------------------------------------------------------------------------
+# exact n-gram (shingle) Jaccard dedup
+# --------------------------------------------------------------------------
+
+
+class _ShingleRows:
+    """map_batches: documents -> (shingle_hash, doc_id) distinct rows plus a
+    per-doc shingle-set size side column (needed for |A u B|)."""
+
+    def __init__(self, k: int):
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch["text"].to_pylist()
+        out_sh, out_id, out_sz = [], [], []
+        for i, text in enumerate(texts):
+            sh = np.unique(shingle_hashes(text, self.k))
+            out_sh.append(sh)
+            out_id.append(np.full(len(sh), ids[i], dtype=np.int64))
+            out_sz.append(np.full(len(sh), len(sh), dtype=np.int64))
+        return pa.table(
+            {
+                "shingle": pa.array(np.concatenate(out_sh) if out_sh else np.zeros(0, np.uint64)),
+                "doc_id": pa.array(np.concatenate(out_id) if out_id else np.zeros(0, np.int64)),
+                "set_size": pa.array(np.concatenate(out_sz) if out_sz else np.zeros(0, np.int64)),
+            }
+        )
+
+
+def _shingle_copair_task(spec: pa.Table, max_shingle_df: int | None) -> pa.Table:
+    """One shingle-hash partition -> partial intersection counts per doc
+    pair.  Every shingle lives in exactly one partition, so summing the
+    partials across partitions gives the exact |A n B|."""
+    import pyarrow.parquet as pq
+
+    df = (
+        pq.read_table(spec["src"][0].as_py(), columns=["shingle", "doc_id"])
+        .to_pandas()
+        .drop_duplicates()
+    )
+    if max_shingle_df is not None:
+        # hub-shingle cap (documented recall loss): a shingle shared by m
+        # docs emits m^2 join rows; skip the pathological hubs
+        sizes = df.groupby("shingle")["doc_id"].transform("size")
+        df = df[sizes <= max_shingle_df]
+    m = df.merge(df, on="shingle")
+    m = m[m["doc_id_x"] < m["doc_id_y"]]
+    inter = (
+        m.groupby(["doc_id_x", "doc_id_y"], sort=False)
+        .size()
+        .reset_index(name="inter_p")
+    )
+    return pa.table(
+        {
+            "a": pa.array(inter["doc_id_x"].to_numpy(np.int64)),
+            "b": pa.array(inter["doc_id_y"].to_numpy(np.int64)),
+            "inter_p": pa.array(inter["inter_p"].to_numpy(np.int64)),
+        }
+    )
+
+
+def ngram_jaccard_pairs(
+    ds,
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+    bucket_parts: int = 16,
+    max_shingle_df: int | None = None,
+    scratch_dir: str | None = None,
+) -> pd.DataFrame:
+    """EXACT shingle-Jaccard near-dup pairs (a < b, jaccard >= threshold) —
+    no LSH approximation: a distributed inverted shingle index.
+
+    1. distinct (shingle_hash, doc_id) rows hash-partition by shingle to
+       storage (each shingle whole in one partition);
+    2. one task per partition self-joins its shingle buckets into partial
+       |A n B| counts;
+    3. partials sum per pair, |A u B| = |A| + |B| - |A n B| from the
+       per-doc set sizes (broadcast, vocab-of-candidates-sized).
+
+    Compute is O(sum bucket^2): exact by default; ``max_shingle_df`` caps
+    hub shingles (with a recall loss only for pairs whose ONLY shared
+    shingles are hubs — not near-dups at dedup thresholds).  Same output
+    contract as minhash_dedup_pairs, so the two engines cross-check.
+    """
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    import ray
+    import ray.data
+
+    rows = ds.map_batches(_ShingleRows(shingle_k), batch_format="pyarrow")
+    owns = scratch_dir is None
+    scratch = scratch_dir or tempfile.mkdtemp(prefix="ngram_shingles_")
+    empty = pd.DataFrame(
+        {
+            "a": pd.Series(dtype=np.int64),
+            "b": pd.Series(dtype=np.int64),
+            "jaccard": pd.Series(dtype=float),
+        }
+    )
+    try:
+
+        def assign(batch: pa.Table, B=bucket_parts) -> pa.Table:
+            part = (
+                batch["shingle"].to_numpy().astype(np.uint64) % np.uint64(B)
+            ).astype(np.int64)
+            return batch.append_column("bpart", pa.array(part, pa.int64()))
+
+        rows.map_batches(assign, batch_format="pyarrow").write_parquet(
+            scratch, partition_cols=["bpart"], compression="zstd"
+        )
+        specs = [
+            {"src": d} for d in sorted(_glob.glob(os.path.join(scratch, "bpart=*")))
+        ]
+        if not specs:
+            return empty
+        partials = (
+            ray.data.from_items(specs)
+            .map_batches(
+                partial(_shingle_copair_task, max_shingle_df=max_shingle_df),
+                batch_size=1,
+                batch_format="pyarrow",
+            )
+            .to_pandas()
+        )
+        if len(partials) == 0:
+            return empty
+        inter = (
+            partials.groupby(["a", "b"], sort=False)["inter_p"].sum().reset_index()
+        )
+        # per-doc set sizes for the candidate docs only (broadcast-filter)
+        need = np.unique(np.concatenate([inter["a"].to_numpy(), inter["b"].to_numpy()]))
+        ids_ref = ray.put(need)
+
+        def keep_sizes(batch: pa.Table) -> pa.Table:
+            import ray as _ray
+
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            mask = np.isin(ids, _ray.get(ids_ref))
+            return batch.select(["doc_id", "set_size"]).filter(pa.array(mask))
+
+        sizes = (
+            rows.map_batches(keep_sizes, batch_format="pyarrow")
+            .to_pandas()
+            .drop_duplicates()
+            .set_index("doc_id")["set_size"]
+        )
+        ca = inter["a"].map(sizes).to_numpy(np.int64)
+        cb = inter["b"].map(sizes).to_numpy(np.int64)
+        ii = inter["inter_p"].to_numpy(np.int64)
+        jac = ii / (ca + cb - ii)
+        keep = jac >= threshold
+        out = pd.DataFrame(
+            {
+                "a": inter["a"].to_numpy(np.int64)[keep],
+                "b": inter["b"].to_numpy(np.int64)[keep],
+                "jaccard": np.round(jac[keep], 6),
+            }
+        )
+    finally:
+        if owns:
+            shutil.rmtree(scratch, ignore_errors=True)
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
 # --------------------------------------------------------------------------

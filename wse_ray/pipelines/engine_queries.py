@@ -402,6 +402,15 @@ def q_dedup_minhash(sf_dir: str) -> pd.DataFrame:
     return minhash_dedup_pairs(_docs_ds(sf_dir), threshold=0.5)
 
 
+def q_dedup_ngram(sf_dir: str) -> pd.DataFrame:
+    """EXACT shingle-Jaccard pairs via the distributed inverted shingle
+    index — same output contract and oracle as dedup_minhash (the LSH
+    route), so the two engines cross-check each other."""
+    from ..functions.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs_ds(sf_dir), threshold=0.5)
+
+
 def q_dedup_simhash(sf_dir: str) -> pd.DataFrame:
     from ..functions.dedup import simhash_pairs
 

@@ -490,6 +490,8 @@ def oracle_sql_map() -> dict[str, str]:
         "fingerprint_md5": sql_fingerprint_md5(),
         "dedup_exact": sql_dedup_exact(),
         "dedup_minhash": sql_dedup_minhash(),
+        "dedup_ngram": sql_dedup_minhash(),  # exact-Jaccard ground truth, shared
+
         "lang_id": sql_lang_id(),
         "multimodal_meta": sql_multimodal_meta(),
         "dedup_embedding": sql_dedup_embedding(),
