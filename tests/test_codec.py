@@ -109,3 +109,19 @@ def test_chunk_ubs_stored():
     buf = encode_posting_list(docids, tfs, dls, chunk_ubs=ubs)
     _, got = read_chunk_meta(buf)
     np.testing.assert_allclose(got, ubs)
+
+
+def test_unblocked_hw2_format_bytes_and_roundtrip():
+    """hw2/Lexicon.cpp:82-132 layout: absolute docID + tf varbyte pairs."""
+    import numpy as np
+    from wse_ray.codec import decode_postings_unblocked, encode_postings_unblocked
+
+    # known byte layout: 5 -> 0x05; 300 -> 0xAC 0x02 (7-bit LSB-first,
+    # continuation high bit)
+    buf = encode_postings_unblocked(np.array([5, 300]), np.array([1, 7]))
+    assert buf == b"\x05\x01\xac\x02\x07"
+    d = np.array([0, 1, 127, 128, 300, 2**32], dtype=np.uint64)
+    f = np.array([1, 2, 3, 4, 5, 6], dtype=np.uint64)
+    dd, ff = decode_postings_unblocked(encode_postings_unblocked(d, f))
+    assert dd.tolist() == d.tolist() and ff.tolist() == f.tolist()
+    assert decode_postings_unblocked(encode_postings_unblocked(np.array([]), np.array([])))[0].size == 0

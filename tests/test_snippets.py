@@ -76,3 +76,46 @@ def test_get_snippets_by_pos_window():
 def test_empty_text_and_no_match():
     assert generate_snippet(b"", WL, DFS, "bm25") == b""
     assert generate_snippet(b"nothing here at all ", WL, DFS, "linear") == b""
+
+
+def test_llm_snippet_stage(ray_session):
+    """N7 plumbing: injectable LLM, reference prompt/truncation contract."""
+    import pandas as pd
+    import ray.data
+    from wse_ray.query.snippets_llm import (
+        MAX_CHARS, MAX_TERMS, USER_CONTENT_MAX, LLMSnippetStage,
+        build_user_content, deterministic_stub_llm,
+    )
+
+    big = "x" * 20000
+    assert len(build_user_content("q", big)) == USER_CONTENT_MAX
+
+    user = build_user_content("fox jumps", "the quick brown fox jumps over the lazy dog " * 20)
+    s = deterministic_stub_llm("sys", user)
+    assert "fox" in s and len(s) <= MAX_CHARS and len(s.split()) <= MAX_TERMS
+    assert deterministic_stub_llm("sys", user) == s  # deterministic
+
+    rows = pd.DataFrame(
+        {
+            "query_id": [0, 0],
+            "query": ["brown fox", "zzz"],
+            "doc_id": [1, 2],
+            "text": ["a b c brown fox d e", "nothing relevant here"],
+        }
+    )
+    out = (
+        ray.data.from_pandas(rows)
+        .map_batches(LLMSnippetStage, concurrency=1, batch_format="pandas")
+        .to_pandas()
+    )
+    assert list(out.columns)[-1] == "snippet" and len(out) == 2
+    assert "fox" in out["snippet"].iloc[0]
+
+    # injectable client is constructed once per actor and used per row
+    calls = []
+    def fake_llm(system, user):
+        calls.append(user)
+        return "SNIP"
+    st = LLMSnippetStage(llm_fn=fake_llm)
+    got = st(rows)
+    assert list(got["snippet"]) == ["SNIP", "SNIP"] and len(calls) == 2

@@ -305,3 +305,31 @@ def read_chunk_meta(buf: bytes | memoryview):
 def count_blocks(buf: bytes | memoryview) -> int:
     """Number of ≤64 KiB blocks in a segment (lexicon blockNum analogue)."""
     return sum(1 for _ in _walk_blocks(memoryview(buf)))
+
+
+# --------------------------------------------------------------------------
+# hw2's unblocked format (format-parity extra; the blocked format above is
+# the real index format)
+# --------------------------------------------------------------------------
+
+
+def encode_postings_unblocked(docids: np.ndarray, tfs: np.ndarray) -> bytes:
+    """The hw2 final-index posting layout (hw2/Lexicon.cpp:82-132
+    ``WriteBitArray``): interleaved varbyte(docID), varbyte(tf) per posting —
+    ABSOLUTE docIDs, no delta, no chunks/blocks, no skip metadata.  Kept for
+    format parity with the earlier reference milestone; no query path uses
+    it (the hw3 blocked format is strictly better and is what
+    ``encode_posting_list`` writes)."""
+    d = np.asarray(docids, dtype=np.uint64)
+    f = np.asarray(tfs, dtype=np.uint64)
+    inter = np.empty(2 * len(d), dtype=np.uint64)
+    inter[0::2] = d
+    inter[1::2] = f
+    payload, _ = varbyte_encode(inter)
+    return payload
+
+
+def decode_postings_unblocked(buf: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of ``encode_postings_unblocked``."""
+    vals = varbyte_decode(buf)
+    return vals[0::2].copy(), vals[1::2].copy()

@@ -502,8 +502,15 @@ def build_index(
     if not _done(postings_dir):
         t0 = time.perf_counter()
         shutil.rmtree(postings_dir, ignore_errors=True)
+        # coalesce the exchange's map side: fragments per partition equal the
+        # number of write tasks, so reading the runs as ~2 blocks per core
+        # (instead of one per file) keeps the fragment count low enough that
+        # compaction is usually a no-op — same parallelism, zero extra I/O
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
         posts = ray.data.read_parquet(
-            runs_dir, columns=["docID", "dataLen", "terms", "tfs"]
+            runs_dir,
+            columns=["docID", "dataLen", "terms", "tfs"],
+            override_num_blocks=max(2, 2 * ncpu),
         ).map_batches(explode_postings, batch_format="pyarrow")
         if cfg.partition_by == "doc":
             assigner = AssignPartByDoc(cfg.num_partitions, stats["N"])
