@@ -179,3 +179,25 @@ def test_ngram_jaccard_exact(docs_ds):
     # LSH output is a subset of the exact output with identical jaccards
     for k, v in lsh_pairs.items():
         assert got[k] == v
+
+
+def test_minhash_bands_batch_equals_per_doc():
+    import pyarrow as pa
+    from wse_ray.functions.dedup import MinHashBands, minhash_signature, shingle_hashes
+
+    texts = ["the quick brown fox jumps over", "", "a b", "x " * 100, "one two three four"]
+    batch = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    mb = MinHashBands(num_perm=64, bands=16)
+    out = mb(batch).to_pandas()
+    # reconstruct expected band hashes from the scalar signature path
+    import numpy as np
+    mul = np.uint64(0x9E3779B97F4A7C15)
+    for i, t in enumerate(texts):
+        sig = minhash_signature(shingle_hashes(t, 3), mb.a, mb.b)
+        for bi in range(16):
+            chunk = sig[bi * 4 : (bi + 1) * 4]
+            h = np.uint64(bi + 1)
+            for c in chunk:
+                h = (h ^ c) * mul
+            got = out[(out["doc_id"] == i) & (out["band_id"] == bi)]["band_hash"].iloc[0]
+            assert np.uint64(got) == h, (i, bi)

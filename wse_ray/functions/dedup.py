@@ -117,6 +117,9 @@ class MinHashBands:
         doc_ids = batch["doc_id"].to_numpy()
         texts = batch["text"].to_pylist()
         n = len(texts)
+        # per-doc signatures: each doc's (perms x shingles) matrix is small
+        # enough to stay cache-resident — a whole-batch matrix was measured
+        # SLOWER (GB-sized temporaries); the loop body is numpy-dominated
         sigs = np.empty((n, len(self.a)), dtype=np.uint64)
         for i, text in enumerate(texts):
             sigs[i] = minhash_signature(shingle_hashes(text, self.k), self.a, self.b)
