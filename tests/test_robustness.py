@@ -117,3 +117,29 @@ def test_postings_compaction_o_p_files(ray_session, tmp_path, tiny_corpus_dir):
     ep, ec = SearchEngine(str(plain)), SearchEngine(str(compact))
     for q in make_queries():
         assert ep.search(q["query"], q["mode"], q["k"]) == ec.search(q["query"], q["mode"], q["k"])
+
+
+def test_compaction_crash_resume_no_duplication(tmp_path):
+    """A compaction interrupted between the compacted-file rename and the
+    fragment deletes must finish the deletes on rerun — never double-count."""
+    import pyarrow as pa
+    from wse_ray.index.build import _compact_part_task
+
+    part = tmp_path / "part=00000"
+    part.mkdir()
+    t1 = pa.table({"term": [b"a", b"b"], "docID": [1, 2], "tf": [1, 1], "dl": [3, 3]})
+    t2 = pa.table({"term": [b"c"], "docID": [3], "tf": [2], "dl": [4]})
+    pq.write_table(t1, str(part / "frag-1.parquet"))
+    pq.write_table(t2, str(part / "frag-2.parquet"))
+    spec = pa.table({"src": [str(part)]})
+    _compact_part_task(spec, min_fragments=1)
+    files = sorted(p.name for p in part.glob("*.parquet"))
+    assert files == ["compacted-0.parquet"]
+    total = pq.read_table(str(part)).num_rows
+    assert total == 3
+    # simulate the crash: compacted file exists AND a leftover fragment
+    pq.write_table(t2, str(part / "frag-9.parquet"))
+    _compact_part_task(spec, min_fragments=1)
+    files = sorted(p.name for p in part.glob("*.parquet"))
+    assert files == ["compacted-0.parquet"]
+    assert pq.read_table(str(part)).num_rows == 3

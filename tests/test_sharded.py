@@ -73,3 +73,18 @@ def test_sharded_rejects_term_layout(both_indexes):
 
     with pytest.raises(ValueError):
         ShardedSearchEngine(both_indexes[0])
+
+
+def test_sharded_batch_search_identical(both_indexes):
+    """search_batch (one round trip per stage for the whole batch) must
+    return exactly what per-query search returns."""
+    from wse_ray.query.sharded import ShardedSearchEngine
+
+    sharded = ShardedSearchEngine(both_indexes[1])
+    qs = make_queries()[:12] + [{"query": "", "mode": "disjunctive", "k": 5}]
+    batched = sharded.search_batch(
+        [{"query": q.get("query", ""), "mode": q.get("mode", "disjunctive"), "k": q.get("k", 10)} for q in qs]
+    )
+    for q, got in zip(qs, batched):
+        want = sharded.search(q.get("query", ""), q.get("mode", "disjunctive"), q.get("k", 10))
+        assert got == want, q

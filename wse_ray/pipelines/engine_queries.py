@@ -473,9 +473,18 @@ def q_ann_topk(sf_dir: str) -> pd.DataFrame:
 
 
 def q_ann_ivf(sf_dir: str) -> pd.DataFrame:
+    """IVF top-k through the PERSISTENT cell-partitioned index (cached per
+    sf dir): probes read only the queried cells' partitions."""
     from ..functions.ann import ivf_topk
 
-    out = ivf_topk(_emb_ds(sf_dir), ANN_QUERY_IDS, ANN_K, n_clusters=16, nprobe=8)
+    out = ivf_topk(
+        _emb_ds(sf_dir),
+        ANN_QUERY_IDS,
+        ANN_K,
+        n_clusters=16,
+        nprobe=8,
+        index_dir=_index_dir(sf_dir) + "_ivf",
+    )
     return out.astype(
         {"query_id": np.int64, "rank": np.int64, "vec_id": np.int64, "cosine": float}
     )

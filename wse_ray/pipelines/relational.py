@@ -73,13 +73,20 @@ def q_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    cust_map = dict(zip(cust["c_custkey"].astype(np.int64), cust["c_nationkey"].astype(np.int64)))
-    ref = ray.put(cust_map)
+    cust = cust.sort_values("c_custkey")
+    # broadcast the dimension as two sorted arrays; the probe is a
+    # vectorized binary search, not a per-row dict lookup
+    ref = ray.put(
+        (
+            cust["c_custkey"].to_numpy(np.int64),
+            cust["c_nationkey"].to_numpy(np.int64),
+        )
+    )
 
     def attach_nation(t: pa.Table) -> pa.Table:
-        m = ray.get(ref)
+        ck, nk_arr = ray.get(ref)
         keys = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        nk = pd.Series(keys).map(m).to_numpy(np.int64)
+        nk = nk_arr[np.searchsorted(ck, keys)]
         return pa.table(
             {
                 "n_nationkey": pa.array(nk, pa.int64()),

@@ -43,6 +43,15 @@ class ShardWorker:
         self.engine.set_global_dfs(dfs)
         return self.engine.search(query, mode, k)
 
+    def search_local_batch(
+        self, queries: list[dict], dfs: dict[bytes, int]
+    ) -> list[list[tuple[int, float]]]:
+        self.engine.set_global_dfs(dfs)
+        return [
+            self.engine.search(q["query"], q.get("mode", "disjunctive"), q.get("k", RESULT_NUM))
+            for q in queries
+        ]
+
 
 class ShardedSearchEngine:
     """Coordinator over one ShardWorker actor per index partition."""
@@ -95,3 +104,28 @@ class ShardedSearchEngine:
         merged = [r for shard in locals_ for r in shard]
         merged.sort(key=lambda r: (-r[1], r[0]))
         return merged[:k]
+
+    def search_batch(self, queries: list[dict]) -> list[list[tuple[int, float]]]:
+        """Batched scatter-gather: ONE df round + ONE search round for the
+        whole query batch instead of two actor round-trips per query —
+        round-trip latency amortizes across the batch (the per-query path
+        is round-trip-bound at interactive shard counts)."""
+        all_terms = sorted(
+            {t for q in queries for t in tokenize_query(q["query"])}
+        )
+        dfs = self._global_dfs(all_terms) if all_terms else {}
+        nonempty = [q for q in queries if tokenize_query(q["query"])]
+        locals_ = ray.get(
+            [s.search_local_batch.remote(nonempty, dfs) for s in self.shards]
+        )
+        merged_by_q = iter(zip(*locals_)) if nonempty else iter(())
+        out: list[list[tuple[int, float]]] = []
+        for q in queries:
+            if not tokenize_query(q["query"]):
+                out.append([])
+                continue
+            shard_results = next(merged_by_q)
+            merged = [r for shard in shard_results for r in shard]
+            merged.sort(key=lambda r: (-r[1], r[0]))
+            out.append(merged[: q.get("k", RESULT_NUM)])
+        return out
