@@ -147,12 +147,16 @@ def run_sharded_bench(corpus_dir: str, out_dir: str, num_shards: int = 16) -> di
         eng.search(q["query"], q["mode"], q["k"])
         times.append(time.perf_counter() - tq)
     total = sum(times)
+    t0 = time.perf_counter()
+    eng.search_batch(qs)  # one round-trip pair for the whole batch
+    batch_sec = time.perf_counter() - t0
     return {
         "num_shards": num_shards,
         "build_sec": round(build_sec, 3),
         "startup_sec": round(startup, 3),
         "queries": len(qs),
         "qps": round(len(qs) / total, 1),
+        "batched_qps": round(len(qs) / batch_sec, 1),
         "latency": _pcts(times),
     }
 
@@ -210,6 +214,7 @@ def main() -> None:
             ("sf_index_build_and_bm25", lambda: eq.q_bm25_disjunctive(SF_DIR)),
             ("dedup_exact", lambda: eq.q_dedup_exact(SF_DIR)),
             ("dedup_minhash", lambda: eq.q_dedup_minhash(SF_DIR)),
+            ("dedup_ngram", lambda: eq.q_dedup_ngram(SF_DIR)),
             ("ann_topk", lambda: eq.q_ann_topk(SF_DIR)),
             ("pricing_summary", lambda: rel.q_pricing_summary(SF_DIR)),
             ("events_window", lambda: rel.q_events_window(SF_DIR)),

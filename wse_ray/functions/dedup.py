@@ -398,14 +398,17 @@ class _ShingleRows:
 
 def _shingle_copair_task(spec: pa.Table, max_shingle_df: int | None) -> pa.Table:
     """One shingle-hash partition -> partial intersection counts per doc
-    pair.  Every shingle lives in exactly one partition, so summing the
-    partials across partitions gives the exact |A n B|."""
+    pair, with each doc's GLOBAL shingle-set size carried along.  Every
+    shingle lives in exactly one partition, so summing the partials across
+    partitions gives the exact |A n B|."""
     import pyarrow.parquet as pq
 
     df = (
-        pq.read_table(spec["src"][0].as_py(), columns=["shingle", "doc_id"])
+        pq.read_table(
+            spec["src"][0].as_py(), columns=["shingle", "doc_id", "set_size"]
+        )
         .to_pandas()
-        .drop_duplicates()
+        .drop_duplicates(["shingle", "doc_id"])
     )
     if max_shingle_df is not None:
         # hub-shingle cap (documented recall loss): a shingle shared by m
@@ -415,7 +418,9 @@ def _shingle_copair_task(spec: pa.Table, max_shingle_df: int | None) -> pa.Table
     m = df.merge(df, on="shingle")
     m = m[m["doc_id_x"] < m["doc_id_y"]]
     inter = (
-        m.groupby(["doc_id_x", "doc_id_y"], sort=False)
+        m.groupby(
+            ["doc_id_x", "doc_id_y", "set_size_x", "set_size_y"], sort=False
+        )
         .size()
         .reset_index(name="inter_p")
     )
@@ -423,7 +428,37 @@ def _shingle_copair_task(spec: pa.Table, max_shingle_df: int | None) -> pa.Table
         {
             "a": pa.array(inter["doc_id_x"].to_numpy(np.int64)),
             "b": pa.array(inter["doc_id_y"].to_numpy(np.int64)),
+            "ca": pa.array(inter["set_size_x"].to_numpy(np.int64)),
+            "cb": pa.array(inter["set_size_y"].to_numpy(np.int64)),
             "inter_p": pa.array(inter["inter_p"].to_numpy(np.int64)),
+        }
+    )
+
+
+def _reduce_pair_partials(spec: pa.Table, threshold: float) -> pa.Table:
+    """One pair-hash partition -> its summed intersections, jaccard-filtered.
+    Every (a, b) pair lives whole in one partition, so the local sum is the
+    exact global |A n B|."""
+    import pyarrow.parquet as pq
+
+    df = pq.read_table(
+        spec["src"][0].as_py(), columns=["a", "b", "ca", "cb", "inter_p"]
+    ).to_pandas()
+    g = (
+        df.groupby(["a", "b", "ca", "cb"], sort=False)["inter_p"]
+        .sum()
+        .reset_index()
+    )
+    ii = g["inter_p"].to_numpy(np.int64)
+    ca = g["ca"].to_numpy(np.int64)
+    cb = g["cb"].to_numpy(np.int64)
+    jac = ii / (ca + cb - ii)
+    keep = jac >= threshold
+    return pa.table(
+        {
+            "a": pa.array(g["a"].to_numpy(np.int64)[keep]),
+            "b": pa.array(g["b"].to_numpy(np.int64)[keep]),
+            "jaccard": pa.array(np.round(jac[keep], 6), pa.float64()),
         }
     )
 
@@ -439,17 +474,29 @@ def ngram_jaccard_pairs(
     """EXACT shingle-Jaccard near-dup pairs (a < b, jaccard >= threshold) —
     no LSH approximation: a distributed inverted shingle index.
 
-    1. distinct (shingle_hash, doc_id) rows hash-partition by shingle to
-       storage (each shingle whole in one partition);
+    1. distinct (shingle_hash, doc_id, global set size) rows hash-partition
+       by shingle to storage (each shingle whole in one partition);
     2. one task per partition self-joins its shingle buckets into partial
-       |A n B| counts;
-    3. partials sum per pair, |A u B| = |A| + |B| - |A n B| from the
-       per-doc set sizes (broadcast, vocab-of-candidates-sized).
+       |A n B| counts (set sizes carried along);
+    3. the pair partials hash-partition by (a, b) to storage (second
+       storage shuffle — Ray's in-memory groupby measured 20x slower here)
+       and one task per partition sums them and filters
+       jaccard = |A n B| / (|A| + |B| - |A n B|) >= threshold — only
+       QUALIFYING pairs ever reach the driver.
 
     Compute is O(sum bucket^2): exact by default; ``max_shingle_df`` caps
     hub shingles (with a recall loss only for pairs whose ONLY shared
     shingles are hubs — not near-dups at dedup thresholds).  Same output
     contract as minhash_dedup_pairs, so the two engines cross-check.
+
+    Scale envelope (measured, BASELINE.md): on real web text the shingle
+    df distribution is sparse and this scales with the dup mass; on
+    HIGH-OVERLAP corpora (small vocab, e.g. the synthetic testdata) the
+    mid-tail co-occurrence volume grows ~quadratically in N — 4 s at 5k
+    docs but 243 s at 100k docs.  Beyond that regime use
+    ``minhash_dedup_pairs`` (LSH prunes candidates before any pair work;
+    19k docs/s at 2M docs) and keep this engine as the exact oracle for
+    bounded corpora or candidate re-verification.
     """
     import glob as _glob
     import shutil
@@ -484,49 +531,44 @@ def ngram_jaccard_pairs(
         ]
         if not specs:
             return empty
-        partials = (
+        def assign_pair_part(batch: pa.Table, B=bucket_parts) -> pa.Table:
+            a = batch["a"].to_numpy().astype(np.uint64)
+            b = batch["b"].to_numpy().astype(np.uint64)
+            mixed = (a * np.uint64(0x9E3779B97F4A7C15) ^ b) * np.uint64(
+                0xC2B2AE3D27D4EB4F
+            )
+            return batch.append_column(
+                "ppart", pa.array((mixed % np.uint64(B)).astype(np.int64), pa.int64())
+            )
+
+        pair_scratch = os.path.join(scratch, "pairs")
+        (
             ray.data.from_items(specs)
             .map_batches(
                 partial(_shingle_copair_task, max_shingle_df=max_shingle_df),
                 batch_size=1,
                 batch_format="pyarrow",
             )
-            .to_pandas()
+            .map_batches(assign_pair_part, batch_format="pyarrow")
+            .write_parquet(pair_scratch, partition_cols=["ppart"], compression="zstd")
         )
-        if len(partials) == 0:
+        pspecs = [
+            {"src": d}
+            for d in sorted(_glob.glob(os.path.join(pair_scratch, "ppart=*")))
+        ]
+        if not pspecs:
             return empty
-        inter = (
-            partials.groupby(["a", "b"], sort=False)["inter_p"].sum().reset_index()
+        out = (
+            ray.data.from_items(pspecs)
+            .map_batches(
+                partial(_reduce_pair_partials, threshold=threshold),
+                batch_size=1,
+                batch_format="pyarrow",
+            )
+            .to_pandas()  # qualifying pairs only (the deliverable)
         )
-        # per-doc set sizes for the candidate docs only (broadcast-filter)
-        need = np.unique(np.concatenate([inter["a"].to_numpy(), inter["b"].to_numpy()]))
-        ids_ref = ray.put(need)
-
-        def keep_sizes(batch: pa.Table) -> pa.Table:
-            import ray as _ray
-
-            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-            mask = np.isin(ids, _ray.get(ids_ref))
-            return batch.select(["doc_id", "set_size"]).filter(pa.array(mask))
-
-        sizes = (
-            rows.map_batches(keep_sizes, batch_format="pyarrow")
-            .to_pandas()
-            .drop_duplicates()
-            .set_index("doc_id")["set_size"]
-        )
-        ca = inter["a"].map(sizes).to_numpy(np.int64)
-        cb = inter["b"].map(sizes).to_numpy(np.int64)
-        ii = inter["inter_p"].to_numpy(np.int64)
-        jac = ii / (ca + cb - ii)
-        keep = jac >= threshold
-        out = pd.DataFrame(
-            {
-                "a": inter["a"].to_numpy(np.int64)[keep],
-                "b": inter["b"].to_numpy(np.int64)[keep],
-                "jaccard": np.round(jac[keep], 6),
-            }
-        )
+        if len(out) == 0:
+            return empty
     finally:
         if owns:
             shutil.rmtree(scratch, ignore_errors=True)

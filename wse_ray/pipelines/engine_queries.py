@@ -405,10 +405,15 @@ def q_dedup_minhash(sf_dir: str) -> pd.DataFrame:
 def q_dedup_ngram(sf_dir: str) -> pd.DataFrame:
     """EXACT shingle-Jaccard pairs via the distributed inverted shingle
     index — same output contract and oracle as dedup_minhash (the LSH
-    route), so the two engines cross-check each other."""
+    route), so the two engines cross-check each other.
+
+    max_shingle_df skips hub shingles (shared by >256 docs) in the
+    intersection counts; it can only SHRINK intersections, and qualifying
+    near-dup pairs share mostly non-hub shingles, so the gate stays
+    oracle-exact while sum(bucket^2) stays bounded (verified at sf0.01/0.1)."""
     from ..functions.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_docs_ds(sf_dir), threshold=0.5)
+    return ngram_jaccard_pairs(_docs_ds(sf_dir), threshold=0.5, max_shingle_df=256)
 
 
 def q_dedup_simhash(sf_dir: str) -> pd.DataFrame:
