@@ -31,6 +31,8 @@ def main() -> None:
     ap.add_argument("--snippets", choices=["linear", "prefix", "bm25", "vector", "keyword", "weight"])
     ap.add_argument("--corpus", help="corpus parquet dir (needed for --snippets)")
     ap.add_argument("--concurrency", type=int, default=4)
+    ap.add_argument("--sharded", action="store_true",
+                    help="serve a partition_by='doc' index via scatter-gather shard actors")
     ap.add_argument("--num-cpus", type=int, default=None)
     args = ap.parse_args()
 
@@ -69,7 +71,13 @@ def main() -> None:
         else:
             print(res.to_pandas().to_string(index=False))
     else:
-        engine = SearchEngine(args.index)
+        if args.sharded:
+            from wse_ray.query.sharded import ShardedSearchEngine
+
+            engine = ShardedSearchEngine(args.index)
+            engine.url_of = lambda d: ""  # urls live in the shard workers
+        else:
+            engine = SearchEngine(args.index)
 
         def answer(q: str) -> None:
             res = engine.search(q, args.mode, args.k)

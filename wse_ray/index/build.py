@@ -554,10 +554,16 @@ def build_index(
             {"src": d, "part": int(os.path.basename(d).split("=")[1])}
             for d in part_dirs
         ]
+        enc_kwargs = {}
+        if cfg.encode_concurrency:
+            # cap concurrent encode tasks (each holds one decoded partition
+            # in heap; bound = concurrency x partition size)
+            enc_kwargs["concurrency"] = cfg.encode_concurrency
         enc = ray.data.from_items(specs).map_batches(
             partial(_encode_part_task, out_dir=out_dir, stats=stats),
             batch_size=1,
             batch_format="pyarrow",
+            **enc_kwargs,
         )
         metrics = enc.to_pandas()  # tiny: one row per partition
         metrics.to_json(
