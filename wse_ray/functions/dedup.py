@@ -295,6 +295,11 @@ def minhash_dedup_pairs(
        (candidate-id set is ray.put once; the corpus streams past it) and
     4. pairs verify by exact Jaccard in a map_batches with the candidate
        texts broadcast.  Driver memory is O(candidates), not O(corpus).
+
+    Edge semantics: two docs with ZERO shingles (token-less text) count as
+    exact dups (jaccard 1.0) — they share identical all-max signatures, so
+    they always co-bucket.  The SQL ground-truth oracle has no shingle rows
+    for such docs and omits those pairs; the testdata contains none.
     """
     import glob as _glob
     import shutil
