@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": eq.q_dedup_exact,
         "dedup_minhash": eq.q_dedup_minhash,  # exact-Jaccard SQL oracle
         "dedup_ngram": eq.q_dedup_ngram,  # exact inverted-shingle-index engine
+        "dedup_survivors": eq.q_dedup_survivors,  # connected-components finisher
         "dedup_simhash": eq.q_dedup_simhash,  # pinned-golden oracle
         "dedup_embedding": eq.q_dedup_embedding,
         "ann_topk": eq.q_ann_topk,

@@ -201,3 +201,37 @@ def test_minhash_bands_batch_equals_per_doc():
                 h = (h ^ c) * mul
             got = out[(out["doc_id"] == i) & (out["band_id"] == bi)]["band_hash"].iloc[0]
             assert np.uint64(got) == h, (i, bi)
+
+
+def test_dedup_clusters_and_star_pairs():
+    import pandas as pd
+    from wse_ray.functions.dedup import dedup_clusters, _bucket_pairs
+
+    # chain 1-2, 2-3 plus isolated pair 7-9 -> components {1,2,3} and {7,9}
+    pairs = pd.DataFrame({"a": [1, 2, 7], "b": [2, 3, 9], "jaccard": [1.0, 1.0, 1.0]})
+    out = dedup_clusters(pairs)
+    got = dict(zip(out["doc_id"], out["rep_id"]))
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+    # star fallback for giant buckets keeps the cluster connected
+    g = pd.DataFrame({"doc_id": list(range(10))})
+    star = _bucket_pairs(g, max_bucket_pairs=5)
+    assert len(star) == 9 and (star["a"] == 0).all()
+    clusters = dedup_clusters(star.assign(jaccard=1.0))
+    assert (clusters["rep_id"] == 0).all() and len(clusters) == 10
+
+
+def test_minhash_giant_cluster_star_pairs(ray_session):
+    """50 identical docs with a tiny pair cap must still all collapse to
+    one representative."""
+    import pandas as pd
+    import ray.data
+    from wse_ray.functions.dedup import dedup_clusters, minhash_dedup_pairs
+
+    rows = [{"doc_id": i, "text": "same exact words here " * 5} for i in range(50)]
+    rows += [{"doc_id": 100 + i, "text": f"unique {i} " + " ".join(f"q{i}z{j}" for j in range(15))} for i in range(5)]
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    pairs = minhash_dedup_pairs(ds, threshold=0.9, max_bucket_pairs=8)
+    clusters = dedup_clusters(pairs)
+    dup_reps = clusters[clusters["doc_id"] < 100]["rep_id"]
+    assert (dup_reps == 0).all() and len(dup_reps) == 50

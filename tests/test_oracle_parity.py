@@ -54,6 +54,7 @@ SQL_CHECKED = [
     "dedup_exact",
     "dedup_minhash",
     "dedup_ngram",
+    "dedup_survivors",
     "lang_id",
     "multimodal_meta",
     "dedup_embedding",

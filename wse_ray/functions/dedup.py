@@ -145,10 +145,18 @@ class MinHashBands:
         )
 
 
-def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+def _bucket_pairs(g: pd.DataFrame, max_bucket_pairs: int | None = None) -> pd.DataFrame:
+    """All (a < b) pairs of one LSH bucket.  A bucket of m docs emits
+    m(m-1)/2 pairs; above ``max_bucket_pairs`` members it emits STAR pairs
+    (min id -> every other) instead — an exact-dup cluster of a million
+    docs must not produce 5*10^11 pairs.  Star pairs keep the cluster
+    CONNECTED (dedup_clusters still groups it correctly); only the
+    non-adjacent pair list is elided."""
     ids = np.sort(g["doc_id"].unique())
     if len(ids) < 2:
         return pd.DataFrame({"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64)})
+    if max_bucket_pairs is not None and len(ids) > max_bucket_pairs:
+        return pd.DataFrame({"a": np.full(len(ids) - 1, ids[0]), "b": ids[1:]})
     ia, ib = np.triu_indices(len(ids), k=1)
     return pd.DataFrame({"a": ids[ia], "b": ids[ib]})
 
@@ -179,7 +187,7 @@ class _AssignBucketPart:
         return batch.append_column("bpart", pa.array(part, pa.int64()))
 
 
-def _emit_bucket_pairs(spec: pa.Table) -> pa.Table:
+def _emit_bucket_pairs(spec: pa.Table, max_bucket_pairs: int | None = None) -> pa.Table:
     """One storage-shuffle partition -> candidate pairs (a < b), deduped
     within the partition.  Partition size is corpus/B band rows — bounded by
     choosing B, never driver-resident."""
@@ -190,7 +198,7 @@ def _emit_bucket_pairs(spec: pa.Table) -> pa.Table:
     ).to_pandas()
     dup = df.duplicated(["band_id", "band_hash"], keep=False)
     frames = [
-        _bucket_pairs(g)
+        _bucket_pairs(g, max_bucket_pairs)
         for _, g in df[dup].groupby(["band_id", "band_hash"], sort=False)
     ]
     out = (
@@ -280,8 +288,13 @@ def minhash_dedup_pairs(
     shingle_k: int = 3,
     scratch_dir: str | None = None,
     bucket_parts: int = 16,
+    max_bucket_pairs: int | None = 4096,
 ):
     """Verified near-dup pairs (a < b, exact shingle-Jaccard >= threshold).
+
+    ``max_bucket_pairs``: buckets larger than this emit star pairs instead
+    of all pairs (see _bucket_pairs) — the giant-exact-dup-cluster safety
+    valve; clusters stay connected for dedup_clusters.
 
     LSH recall depends on (bands, rows): P(candidate) = 1-(1-j^r)^b.
 
@@ -331,7 +344,11 @@ def minhash_dedup_pairs(
             return empty
         cand = (
             ray.data.from_items(specs)
-            .map_batches(_emit_bucket_pairs, batch_size=1, batch_format="pyarrow")
+            .map_batches(
+                partial(_emit_bucket_pairs, max_bucket_pairs=max_bucket_pairs),
+                batch_size=1,
+                batch_format="pyarrow",
+            )
             .to_pandas()
         )
         # candidate set is tiny relative to the corpus (dup clusters only);
@@ -770,4 +787,42 @@ def embedding_dup_pairs(
         out.drop_duplicates(["a", "b"])
         .sort_values(["a", "b"])
         .reset_index(drop=True)
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup finisher: verified pairs -> clusters / survivors
+# --------------------------------------------------------------------------
+
+
+def dedup_clusters(pairs: pd.DataFrame) -> pd.DataFrame:
+    """Connected components over verified near-dup pairs: (doc_id, rep_id)
+    where rep_id = min doc_id of the component — the survivor each doc
+    should be collapsed to.  Union-find over the PAIR LIST (output-sized,
+    not corpus-sized: docs with no near-dup never appear).  At extreme pair
+    counts run per pair-hash partition first and stitch the (tiny) spanning
+    remainder — the pair list here is already the post-verify deliverable.
+    """
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pairs["a"], pairs["b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra  # smaller id wins -> rep = min of component
+    docs = sorted(set(map(int, pairs["a"])) | set(map(int, pairs["b"])))
+    return pd.DataFrame(
+        {
+            "doc_id": pd.array(docs, dtype=np.int64),
+            "rep_id": pd.array([find(d) for d in docs], dtype=np.int64),
+        }
     )

@@ -416,6 +416,14 @@ def q_dedup_ngram(sf_dir: str) -> pd.DataFrame:
     return ngram_jaccard_pairs(_docs_ds(sf_dir), threshold=0.5, max_shingle_df=256)
 
 
+def q_dedup_survivors(sf_dir: str) -> pd.DataFrame:
+    """Near-dup cluster assignment: connected components over the verified
+    MinHash pairs, rep = min doc_id of each component (the survivor)."""
+    from ..functions.dedup import dedup_clusters
+
+    return dedup_clusters(q_dedup_minhash(sf_dir))
+
+
 def q_dedup_simhash(sf_dir: str) -> pd.DataFrame:
     from ..functions.dedup import simhash_pairs
 

@@ -279,6 +279,22 @@ WHERE i.i::DOUBLE / (ca.c + cb.c - i.i) >= 0.5
 ORDER BY a, b"""
 
 
+def sql_dedup_survivors() -> str:
+    # connected components over the exact-Jaccard pair graph via recursive
+    # min-label reachability; rep = min doc_id reachable from each doc
+    return f"""
+WITH RECURSIVE jac AS ({sql_dedup_minhash().replace("ORDER BY a, b", "")}),
+edges AS (SELECT a, b FROM jac UNION ALL SELECT b AS a, a AS b FROM jac),
+nodes AS (SELECT DISTINCT a AS doc FROM edges),
+reach(doc, node) AS (
+  SELECT doc, doc FROM nodes
+  UNION
+  SELECT r.doc, e.b FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT doc AS doc_id, min(node)::BIGINT AS rep_id
+FROM reach GROUP BY doc ORDER BY doc_id"""
+
+
 def sql_lang_id() -> str:
     from ..functions.textstats import LANG_MARKERS
 
@@ -491,6 +507,7 @@ def oracle_sql_map() -> dict[str, str]:
         "dedup_exact": sql_dedup_exact(),
         "dedup_minhash": sql_dedup_minhash(),
         "dedup_ngram": sql_dedup_minhash(),  # exact-Jaccard ground truth, shared
+        "dedup_survivors": sql_dedup_survivors(),
 
         "lang_id": sql_lang_id(),
         "multimodal_meta": sql_multimodal_meta(),
