@@ -150,6 +150,20 @@ def run_sharded_bench(corpus_dir: str, out_dir: str, num_shards: int = 16) -> di
     t0 = time.perf_counter()
     eng.search_batch(qs)  # one round-trip pair for the whole batch
     batch_sec = time.perf_counter() - t0
+    # MaxScore-pruned through the shards (bit-identical results,
+    # tests/test_sharded.py::test_sharded_pruned_identical)
+    pruned_qs = [
+        dict(q, mode="disjunctive_pruned") if q["mode"] == "disjunctive" else q
+        for q in qs
+    ]
+    pruned_times = []
+    for q in pruned_qs:
+        tq = time.perf_counter()
+        eng.search(q["query"], q["mode"], q["k"])
+        pruned_times.append(time.perf_counter() - tq)
+    t0 = time.perf_counter()
+    eng.search_batch(pruned_qs)
+    pruned_batch_sec = time.perf_counter() - t0
     return {
         "num_shards": num_shards,
         "build_sec": round(build_sec, 3),
@@ -158,6 +172,9 @@ def run_sharded_bench(corpus_dir: str, out_dir: str, num_shards: int = 16) -> di
         "qps": round(len(qs) / total, 1),
         "batched_qps": round(len(qs) / batch_sec, 1),
         "latency": _pcts(times),
+        "pruned_qps": round(len(qs) / sum(pruned_times), 1),
+        "pruned_batched_qps": round(len(qs) / pruned_batch_sec, 1),
+        "pruned_latency": _pcts(pruned_times),
     }
 
 

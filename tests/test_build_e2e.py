@@ -108,3 +108,35 @@ def test_resume_skips_completed_phases(built, tiny_corpus_dir):
     assert manifest["stats"]["N"] == 100
     assert manifest["timings_sec"] == {}  # all phases skipped
     assert time.perf_counter() - t0 < 5.0
+
+
+def test_callable_corpus_partials_bounded(tmp_path):
+    """With an unknown corpus size (callable corpora, approx_docs<=0) the
+    per-batch heavy-candidate partials must be CAPPED (top-M by count), not
+    the full batch vocab — the driver sums partials across every batch, so
+    unbounded vocab rows per batch would grow driver memory with corpus
+    width.  Routing-only: a missed heavy term costs skew, not correctness."""
+    import numpy as np
+    import pyarrow as pa
+
+    from wse_ray.index.build import _CALLABLE_PARTIALS_CAP, TokenizeWriteRuns
+
+    n_docs, vocab_per_doc = 100, 80  # 8000 distinct terms >> cap? use cap check
+    texts = [
+        " ".join(f"t{i}_{j}" for j in range(vocab_per_doc)) for i in range(n_docs)
+    ]
+    batch = pa.table(
+        {
+            "docID": pa.array(np.arange(n_docs, dtype=np.uint64)),
+            "url": pa.array(["u"] * n_docs, pa.large_string()),
+            "text": pa.array(texts, pa.large_string()),
+        }
+    )
+    tok = TokenizeWriteRuns(str(tmp_path), "simple", heavy_threshold=10, approx_docs=0)
+    out = tok(batch)
+    # stats row + at most CAP candidate rows (8000 distinct terms in batch)
+    assert out.num_rows <= _CALLABLE_PARTIALS_CAP + 1
+    # known-size corpora keep the density-cutoff behavior (no cap applied)
+    tok2 = TokenizeWriteRuns(str(tmp_path), "simple", heavy_threshold=10, approx_docs=n_docs)
+    out2 = tok2(batch)
+    assert out2.num_rows >= 1

@@ -149,6 +149,104 @@ def test_ivf_partition_pruned_index(vec_ds, tmp_path):
     npt.assert_array_equal(build_ivf_index(vec_ds, idx, n_clusters=8), np.load(idx + "/centroids.npy"))
 
 
+def test_ivf_index_params_change_forces_rebuild(ray_session, tmp_path):
+    """A persistent IVF index built with different n_clusters must be
+    rebuilt on reuse, not silently served with a stale layout."""
+    import json
+
+    import ray.data
+    from wse_ray.functions.ann import build_ivf_index
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(64, dtype=np.int64),
+            "embedding": list(rng.normal(size=(64, 8)).astype(np.float32)),
+        }
+    )
+    vec_ds = ray.data.from_pandas(df, override_num_blocks=2)
+    idx = str(tmp_path / "ivf")
+    c1 = build_ivf_index(vec_ds, idx, n_clusters=4, sample_rows=64)
+    assert len(c1) == 4
+    c2 = build_ivf_index(vec_ds, idx, n_clusters=8, sample_rows=64)
+    assert len(c2) == 8  # rebuilt, not the stale 4-cell layout
+    with open(idx + "/_SUCCESS") as f:
+        assert json.load(f) == {"n_clusters": 8, "sample_rows": 64}
+
+
+def test_simhash_giant_cluster_star_pairs(ray_session):
+    """30 identical docs with a tiny bucket-member cap must still all
+    collapse to one representative through the star-pair fallback
+    (identical fingerprints -> every star edge verifies at hamming 0)."""
+    import ray.data
+    from wse_ray.functions.dedup import dedup_clusters, simhash_pairs
+
+    rows = [{"doc_id": i, "text": "same exact words here " * 5} for i in range(30)]
+    rows += [
+        {"doc_id": 100 + i, "text": " ".join(f"w{i}x{j}" for j in range(40))}
+        for i in range(5)
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    pairs = simhash_pairs(ds, max_hamming=3, max_bucket_members=8)
+    clusters = dedup_clusters(pairs)
+    dup_reps = clusters[clusters["doc_id"] < 100]["rep_id"]
+    assert (dup_reps == 0).all() and len(dup_reps) == 30
+
+
+def test_shingle_hash_batch_matches_python_reference():
+    """Independent pure-Python FNV-1a + mix reference for the vectorized
+    batch shingle path (hash values are load-bearing for minhash/ngram)."""
+    import pyarrow as pa
+    from wse_ray.stages.vectorized_tokenize import shingle_hash_batch
+    from wse_ray.tokenizer import tokenize_simple
+
+    def fnv(b: bytes) -> int:
+        h = 0xCBF29CE484222325
+        for x in b:
+            h = ((h ^ x) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        return h
+
+    def ref(text: str, k: int = 3) -> list[int]:
+        toks = tokenize_simple(text.encode())
+        if not toks:
+            return []
+        h = [fnv(t) for t in toks]
+        kk = min(k, len(h))
+        out = []
+        for s in range(len(h) - kk + 1):
+            c = h[s]
+            for j in range(1, kk):
+                c = ((c * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF) ^ h[s + j]
+            out.append(c)
+        return out
+
+    texts = ["hello world foo bar", "", "one", "a b", "x  y\tz w", "a a a a a"]
+    flat, off = shingle_hash_batch(
+        pa.array([t.encode() for t in texts], pa.large_binary()), 3
+    )
+    for i, t in enumerate(texts):
+        assert flat[off[i] : off[i + 1]].tolist() == ref(t), t
+
+
+def test_rolling64_pinned_values():
+    """Pin _rolling64_batch values (natural 2**64 wrap, base 1000003) so
+    any future modulus/base drift is visible — fingerprints may be
+    persisted, so the format must not change silently."""
+    from wse_ray.functions.textstats import _rolling64_batch
+
+    docs = [b"", b"a", b"abc", b"hello world", bytes(range(200)) * 6]
+    data = np.frombuffer(b"".join(docs), dtype=np.uint8)
+    offsets = np.concatenate(([0], np.cumsum([len(d) for d in docs]))).astype(np.int64)
+    got = _rolling64_batch(data, offsets)
+    assert got.tolist() == [
+        0,
+        97,
+        97000680001266,
+        14297433070501965380,
+        6472281748459570200,
+    ]
+
+
 def test_simhash_batch_equals_scalar():
     from hypothesis import given, settings, strategies as st
     import pyarrow as pa
@@ -215,7 +313,7 @@ def test_dedup_clusters_and_star_pairs():
 
     # star fallback for giant buckets keeps the cluster connected
     g = pd.DataFrame({"doc_id": list(range(10))})
-    star = _bucket_pairs(g, max_bucket_pairs=5)
+    star = _bucket_pairs(g, max_bucket_members=5)
     assert len(star) == 9 and (star["a"] == 0).all()
     clusters = dedup_clusters(star.assign(jaccard=1.0))
     assert (clusters["rep_id"] == 0).all() and len(clusters) == 10
@@ -231,7 +329,7 @@ def test_minhash_giant_cluster_star_pairs(ray_session):
     rows = [{"doc_id": i, "text": "same exact words here " * 5} for i in range(50)]
     rows += [{"doc_id": 100 + i, "text": f"unique {i} " + " ".join(f"q{i}z{j}" for j in range(15))} for i in range(5)]
     ds = ray.data.from_pandas(pd.DataFrame(rows))
-    pairs = minhash_dedup_pairs(ds, threshold=0.9, max_bucket_pairs=8)
+    pairs = minhash_dedup_pairs(ds, threshold=0.9, max_bucket_members=8)
     clusters = dedup_clusters(pairs)
     dup_reps = clusters[clusters["doc_id"] < 100]["rep_id"]
     assert (dup_reps == 0).all() and len(dup_reps) == 50

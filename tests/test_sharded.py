@@ -68,6 +68,25 @@ def test_sharded_uneven_partition_identical(both_indexes, tiny_corpus_dir, tmp_p
         assert got == want, q
 
 
+def test_sharded_pruned_identical(both_indexes):
+    """disjunctive_pruned through the sharded scatter-gather (per-query AND
+    batched) must be bit-identical to single-node exhaustive disjunctive:
+    per-shard MaxScore pruning is an exact top-k optimization and global
+    dfs are installed before any scoring."""
+    from wse_ray.query.sharded import ShardedSearchEngine
+
+    term_e = SearchEngine(both_indexes[0])
+    sharded = ShardedSearchEngine(both_indexes[1])
+    dis = [q for q in make_queries() if q["mode"] == "disjunctive"]
+    for q in dis:
+        got = sharded.search(q["query"], "disjunctive_pruned", q["k"])
+        want = term_e.search(q["query"], "disjunctive", q["k"])
+        assert got == want, q
+    batch = sharded.search_batch([dict(q, mode="disjunctive_pruned") for q in dis])
+    for q, got in zip(dis, batch):
+        assert got == term_e.search(q["query"], "disjunctive", q["k"]), q
+
+
 def test_sharded_rejects_term_layout(both_indexes):
     from wse_ray.query.sharded import ShardedSearchEngine
 

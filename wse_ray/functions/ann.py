@@ -176,11 +176,25 @@ def build_ivf_index(
     """
     import ray
 
+    import json
+    import shutil
+
     os.makedirs(out_dir, exist_ok=True)
     done = os.path.join(out_dir, "_SUCCESS")
     cpath = os.path.join(out_dir, "centroids.npy")
+    # the marker records the BUILD PARAMS: a persistent index built with a
+    # different layout must be rebuilt, not silently reused
+    params = {"n_clusters": n_clusters, "sample_rows": sample_rows}
     if os.path.exists(done):
-        return np.load(cpath)
+        with open(done) as f:
+            try:
+                stamped = json.load(f)
+            except json.JSONDecodeError:  # pre-params marker: force rebuild
+                stamped = None
+        if stamped == params:
+            return np.load(cpath)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        os.makedirs(out_dir, exist_ok=True)
     sample = ds.limit(sample_rows).to_pandas()
     centers = _kmeans(
         _normalize(np.stack(sample["embedding"].to_numpy()).astype(np.float64)),
@@ -191,7 +205,7 @@ def build_ivf_index(
     ).write_parquet(os.path.join(out_dir, "cells"), partition_cols=["cell"], compression="zstd")
     np.save(cpath, centers)
     with open(done, "w") as f:
-        f.write("ok\n")
+        json.dump(params, f)
     return centers
 
 

@@ -19,6 +19,7 @@ Scale shapes:
 from __future__ import annotations
 
 import hashlib
+import logging
 import os
 from functools import partial
 
@@ -26,9 +27,15 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..tokenizer import tokenize_simple
+from ..stages.vectorized_tokenize import shingle_hash_batch
 
 _MERSENNE = (1 << 61) - 1
+_LOG = logging.getLogger("wse_ray.dedup")
+
+
+def _text_col(batch: pa.Table) -> pa.Array:
+    col = batch["text"]
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
 
 
 # --------------------------------------------------------------------------
@@ -42,20 +49,18 @@ def add_md5(batch: pa.Table) -> pa.Table:
     return pa.table({"doc_id": batch["doc_id"], "text_hash": pa.array(h, pa.string())})
 
 
-def _keep_first(g: pd.DataFrame) -> pd.DataFrame:
-    return pd.DataFrame(
-        {
-            "doc_id": [int(g["doc_id"].min())],
-            "text_hash": [g["text_hash"].iloc[0]],
-            "n_copies": [len(g)],
-        }
-    )
-
-
 def exact_dedup(ds) -> "ray.data.Dataset":  # noqa: F821
-    """Survivor per distinct content hash: (doc_id=min, text_hash, n_copies)."""
+    """Survivor per distinct content hash: (doc_id=min, text_hash, n_copies).
+
+    One shuffle of (hash, id) pairs — never the text — reduced by VECTORIZED
+    ``aggregate(Min, Count)`` (a per-group pandas ``map_groups`` materialized
+    millions of 1-row frames at scale)."""
+    from ray.data.aggregate import Count, Min
+
     hashed = ds.map_batches(add_md5, batch_format="pyarrow")
-    return hashed.groupby("text_hash").map_groups(_keep_first, batch_format="pandas")
+    return hashed.groupby("text_hash").aggregate(
+        Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -70,29 +75,18 @@ def _perm_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-_SHINGLE_MIX = np.uint64(0x9E3779B97F4A7C15)
-
-
 def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Word k-shingles hashed to uint64 (deterministic).
-
-    Tokens are hashed individually (one vectorized hash over the token
-    array) and window hashes combine the k token hashes — no shingle
-    STRINGS are ever built, which makes this ~4x cheaper per doc than
-    joining text windows.  The shingle-hash set is 1:1 with the string
-    k-shingle set (modulo 64-bit collisions), so Jaccard values match the
-    string-based DuckDB oracle exactly.
-    """
-    toks = tokenize_simple(text.encode())
-    if not toks:
-        return np.zeros(0, dtype=np.uint64)
-    h = pd.util.hash_array(np.asarray(toks, dtype=object), categorize=False)
-    n = len(h)
-    kk = min(k, n)  # < k tokens -> one whole-sequence shingle
-    c = h[: n - kk + 1].copy()
-    for j in range(1, kk):
-        c = (c * _SHINGLE_MIX) ^ h[j : n - kk + 1 + j]
-    return c
+    """Word k-shingles of ONE document hashed to uint64 (deterministic) —
+    scalar convenience wrapper over the batch path (shingle_hash_batch:
+    content-complete FNV-1a token hashes straight from the Arrow buffers,
+    windows combined with a polynomial mix; no shingle STRINGS, no
+    library-pinned object-dtype hashing).  The shingle-hash set is 1:1 with
+    the string k-shingle set (modulo 64-bit collisions), so Jaccard values
+    match the string-based DuckDB oracle exactly."""
+    flat, _off = shingle_hash_batch(
+        pa.array([text.encode("utf-8")], pa.large_binary()), k
+    )
+    return flat
 
 
 def minhash_signature(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -115,14 +109,17 @@ class MinHashBands:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch["doc_id"].to_numpy()
-        texts = batch["text"].to_pylist()
-        n = len(texts)
-        # per-doc signatures: each doc's (perms x shingles) matrix is small
-        # enough to stay cache-resident — a whole-batch matrix was measured
-        # SLOWER (GB-sized temporaries); the loop body is numpy-dominated
+        n = len(doc_ids)
+        # whole-batch vectorized shingling (no per-doc Python tokenize);
+        # per-doc signature reduction: each doc's (perms x shingles) matrix
+        # is small enough to stay cache-resident — a whole-batch matrix was
+        # measured SLOWER (GB-sized temporaries)
+        sh_flat, sh_off = shingle_hash_batch(_text_col(batch), self.k)
         sigs = np.empty((n, len(self.a)), dtype=np.uint64)
-        for i, text in enumerate(texts):
-            sigs[i] = minhash_signature(shingle_hashes(text, self.k), self.a, self.b)
+        for i in range(n):
+            sigs[i] = minhash_signature(
+                sh_flat[sh_off[i] : sh_off[i + 1]], self.a, self.b
+            )
         # vectorized band fingerprints: polynomial mix of the r rows of each
         # band (band identity only creates CANDIDATE pairs, later verified
         # by exact Jaccard, so mix collisions are harmless)
@@ -145,17 +142,26 @@ class MinHashBands:
         )
 
 
-def _bucket_pairs(g: pd.DataFrame, max_bucket_pairs: int | None = None) -> pd.DataFrame:
+def _bucket_pairs(g: pd.DataFrame, max_bucket_members: int | None = None) -> pd.DataFrame:
     """All (a < b) pairs of one LSH bucket.  A bucket of m docs emits
-    m(m-1)/2 pairs; above ``max_bucket_pairs`` members it emits STAR pairs
-    (min id -> every other) instead — an exact-dup cluster of a million
-    docs must not produce 5*10^11 pairs.  Star pairs keep the cluster
-    CONNECTED (dedup_clusters still groups it correctly); only the
-    non-adjacent pair list is elided."""
+    m(m-1)/2 pairs; above ``max_bucket_members`` MEMBERS it emits STAR
+    pairs (min id -> every other) instead — an exact-dup cluster of a
+    million docs must not produce 5*10^11 pairs.  Star candidate edges
+    still go through downstream verification, so cluster CONNECTIVITY after
+    verify is only guaranteed when every member truly matches the min-id
+    doc (e.g. an exact-dup cluster); a giant bucket of merely-similar docs
+    can lose true non-star pairs.  The fallback logs when it fires so a
+    gate/oracle mismatch on a capped corpus is diagnosable."""
     ids = np.sort(g["doc_id"].unique())
     if len(ids) < 2:
         return pd.DataFrame({"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64)})
-    if max_bucket_pairs is not None and len(ids) > max_bucket_pairs:
+    if max_bucket_members is not None and len(ids) > max_bucket_members:
+        _LOG.warning(
+            "LSH bucket of %d members exceeds max_bucket_members=%d: "
+            "emitting %d star pairs instead of %d all-pairs (recall loss "
+            "possible for non-exact-dup clusters)",
+            len(ids), max_bucket_members, len(ids) - 1, len(ids) * (len(ids) - 1) // 2,
+        )
         return pd.DataFrame({"a": np.full(len(ids) - 1, ids[0]), "b": ids[1:]})
     ia, ib = np.triu_indices(len(ids), k=1)
     return pd.DataFrame({"a": ids[ia], "b": ids[ib]})
@@ -187,7 +193,7 @@ class _AssignBucketPart:
         return batch.append_column("bpart", pa.array(part, pa.int64()))
 
 
-def _emit_bucket_pairs(spec: pa.Table, max_bucket_pairs: int | None = None) -> pa.Table:
+def _emit_bucket_pairs(spec: pa.Table, max_bucket_members: int | None = None) -> pa.Table:
     """One storage-shuffle partition -> candidate pairs (a < b), deduped
     within the partition.  Partition size is corpus/B band rows — bounded by
     choosing B, never driver-resident."""
@@ -198,7 +204,7 @@ def _emit_bucket_pairs(spec: pa.Table, max_bucket_pairs: int | None = None) -> p
     ).to_pandas()
     dup = df.duplicated(["band_id", "band_hash"], keep=False)
     frames = [
-        _bucket_pairs(g, max_bucket_pairs)
+        _bucket_pairs(g, max_bucket_members)
         for _, g in df[dup].groupby(["band_id", "band_hash"], sort=False)
     ]
     out = (
@@ -211,73 +217,153 @@ def _emit_bucket_pairs(spec: pa.Table, max_bucket_pairs: int | None = None) -> p
     )
 
 
-class _CandidateShingles:
-    """Broadcast-filter + shingle stage: keep only rows whose doc_id is in
-    the (small) candidate set and return their DISTINCT shingle hashes —
-    the corpus streams past; each candidate doc is tokenized exactly once,
-    here, not once per verified pair."""
+def _assign_pair_part(batch: pa.Table, B: int) -> pa.Table:
+    """Shuffle key for pair-keyed storage partitioning: hash(a, b) % B.  A
+    given (a, b) pair always lands in the same partition (dedup and reduce
+    are partition-local)."""
+    a = batch["a"].to_numpy().astype(np.uint64)
+    b = batch["b"].to_numpy().astype(np.uint64)
+    mixed = (a * np.uint64(0x9E3779B97F4A7C15) ^ b) * np.uint64(0xC2B2AE3D27D4EB4F)
+    return batch.append_column(
+        "ppart", pa.array((mixed % np.uint64(B)).astype(np.int64), pa.int64())
+    )
 
-    def __init__(self, ids_ref, shingle_k: int):
-        self.ids_ref = ids_ref
+
+def _pair_partition_needs(spec: pa.Table) -> pa.Table:
+    """One pair partition -> the DISTINCT doc_ids it needs shingles for,
+    tagged with the partition id — the rows of the doc->partition routing
+    table (16 B/entry; the shingle content itself never rides along)."""
+    import pyarrow.parquet as pq
+
+    src = spec["src"][0].as_py()
+    ppart = int(os.path.basename(src.rstrip("/")).split("=", 1)[1])
+    t = pq.read_table(src, columns=["a", "b"])
+    ids = np.unique(
+        np.concatenate(
+            [
+                t["a"].to_numpy(zero_copy_only=False).astype(np.int64),
+                t["b"].to_numpy(zero_copy_only=False).astype(np.int64),
+            ]
+        )
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "ppart": pa.array(np.full(len(ids), ppart), pa.int64()),
+        }
+    )
+
+
+class _CandidateShinglesToParts:
+    """Semi-join + shingle + replicate stage: the corpus streams past a
+    broadcast COMPACT routing table (sorted candidate doc_ids + CSR lists of
+    the pair partitions needing each doc — ~16 B per (doc, partition) entry,
+    NOT the shingle sets themselves).  Each candidate doc is shingled
+    exactly once and its (doc_id, shingles) row is replicated to every pair
+    partition that references it, so the verify stage is fully
+    partition-local."""
+
+    def __init__(self, route_ref, shingle_k: int):
+        self.route_ref = route_ref
         self.k = shingle_k
-        self._ids = None
+        self._route = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import ray
 
-        if self._ids is None:
-            self._ids = ray.get(self.ids_ref)
+        if self._route is None:
+            self._route = ray.get(self.route_ref)
+        need_ids, csr_off, csr_parts = self._route
+        if len(need_ids) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "shingles": pa.array([], pa.large_list(pa.uint64())),
+                    "ppart": pa.array([], pa.int64()),
+                }
+            )
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        mask = np.isin(ids, self._ids)
-        kept = batch.select(["doc_id", "text"]).filter(pa.array(mask))
-        shingles = [
-            np.unique(shingle_hashes(t, self.k))
-            for t in kept["text"].to_pylist()
-        ]
+        pos = np.searchsorted(need_ids, ids)
+        pos_c = np.minimum(pos, len(need_ids) - 1)
+        member = need_ids[pos_c] == ids
+        kept = batch.select(["doc_id", "text"]).filter(pa.array(member))
+        kpos = pos_c[member]
+        nk = len(kept)
+        if nk == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "shingles": pa.array([], pa.large_list(pa.uint64())),
+                    "ppart": pa.array([], pa.int64()),
+                }
+            )
+        sh_flat, sh_off = shingle_hash_batch(_text_col(kept), self.k)
+        # per-doc DISTINCT sorted shingle hashes as one list array
+        uniq = [np.unique(sh_flat[sh_off[i] : sh_off[i + 1]]) for i in range(nk)]
+        lens = np.array([len(u) for u in uniq], dtype=np.int64)
+        sh_list = pa.LargeListArray.from_arrays(
+            pa.array(np.concatenate(([0], np.cumsum(lens))), pa.int64()),
+            pa.array(
+                np.concatenate(uniq) if lens.sum() else np.zeros(0, np.uint64),
+                pa.uint64(),
+            ),
+        )
+        # replicate each kept row to its needed pair partitions (CSR gather)
+        counts = (csr_off[kpos + 1] - csr_off[kpos]).astype(np.int64)
+        total = int(counts.sum())
+        row_rep = np.repeat(np.arange(nk, dtype=np.int64), counts)
+        csum = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        gather = np.repeat(csr_off[kpos] - csum, counts) + np.arange(
+            total, dtype=np.int64
+        )
+        take = pa.array(row_rep)
         return pa.table(
             {
-                "doc_id": kept["doc_id"],
-                "shingles": pa.array(
-                    [s.tolist() for s in shingles], pa.large_list(pa.uint64())
-                ),
+                "doc_id": kept["doc_id"].take(take),
+                "shingles": sh_list.take(take),
+                "ppart": pa.array(csr_parts[gather], pa.int64()),
             }
         )
 
 
-class _VerifyJaccard:
-    """map_batches over candidate-pair rows: exact Jaccard on the
-    precomputed shingle-hash sets (broadcast once per actor).  Sorted-array
+def _verify_partition_task(spec: pa.Table, threshold: float) -> pa.Table:
+    """One pair partition -> its verified (a, b, jaccard) rows.  Reads its
+    OWN pairs and its OWN co-shuffled shingle rows — no broadcast state;
+    partition size is bounded by choosing the partition count.  Sorted-array
     intersection == set Jaccard on the same hashes."""
+    import pyarrow.parquet as pq
 
-    def __init__(self, shingles_ref, threshold: float):
-        self.shingles_ref = shingles_ref
-        self.threshold = threshold
-        self._sh = None
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        import ray
-
-        if self._sh is None:
-            self._sh = ray.get(self.shingles_ref)
-        out_a, out_b, out_j = [], [], []
-        for a, b in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
-            sa, sb = self._sh[a], self._sh[b]
-            if len(sa) == 0 and len(sb) == 0:
-                j = 1.0
-            else:
-                inter = len(np.intersect1d(sa, sb, assume_unique=True))
-                j = inter / (len(sa) + len(sb) - inter)
-            if j >= self.threshold:
-                out_a.append(a)
-                out_b.append(b)
-                out_j.append(round(j, 6))
-        return pa.table(
-            {
-                "a": pa.array(out_a, pa.int64()),
-                "b": pa.array(out_b, pa.int64()),
-                "jaccard": pa.array(out_j, pa.float64()),
-            }
+    pairs = (
+        pq.read_table(spec["pairs"][0].as_py(), columns=["a", "b"])
+        .to_pandas()
+        .drop_duplicates()  # same pair from different bands/band-partitions
+    )
+    sh_t = pq.read_table(spec["sh"][0].as_py(), columns=["doc_id", "shingles"])
+    sh: dict[int, np.ndarray] = {
+        int(i): np.asarray(s, dtype=np.uint64)
+        for i, s in zip(
+            sh_t["doc_id"].to_numpy(zero_copy_only=False), sh_t["shingles"].to_pylist()
         )
+    }
+    out_a, out_b, out_j = [], [], []
+    for a, b in zip(pairs["a"], pairs["b"]):
+        sa, sb = sh[int(a)], sh[int(b)]
+        if len(sa) == 0 and len(sb) == 0:
+            j = 1.0
+        else:
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            j = inter / (len(sa) + len(sb) - inter)
+        if j >= threshold:
+            out_a.append(int(a))
+            out_b.append(int(b))
+            out_j.append(round(j, 6))
+    return pa.table(
+        {
+            "a": pa.array(out_a, pa.int64()),
+            "b": pa.array(out_b, pa.int64()),
+            "jaccard": pa.array(out_j, pa.float64()),
+        }
+    )
 
 
 def minhash_dedup_pairs(
@@ -288,26 +374,35 @@ def minhash_dedup_pairs(
     shingle_k: int = 3,
     scratch_dir: str | None = None,
     bucket_parts: int = 16,
-    max_bucket_pairs: int | None = 4096,
+    max_bucket_members: int | None = 4096,
+    verify_parts: int | None = None,
 ):
     """Verified near-dup pairs (a < b, exact shingle-Jaccard >= threshold).
 
-    ``max_bucket_pairs``: buckets larger than this emit star pairs instead
-    of all pairs (see _bucket_pairs) — the giant-exact-dup-cluster safety
-    valve; clusters stay connected for dedup_clusters.
+    ``max_bucket_members``: buckets with more MEMBERS than this emit star
+    pairs instead of all pairs (see _bucket_pairs) — the
+    giant-exact-dup-cluster safety valve.  Post-verify connectivity is
+    guaranteed only for exact-dup clusters; the fallback logs when it fires.
 
     LSH recall depends on (bands, rows): P(candidate) = 1-(1-j^r)^b.
 
-    Scale shape — nothing corpus-sized ever reaches the driver:
+    Scale shape — nothing corpus-sized OR candidate-shingle-sized ever
+    reaches the driver (every stage is the "storage is the shuffle"
+    pattern from index/build.py):
     1. (band_id, band_hash, doc_id) rows hash-partition by bucket to
-       storage (the index build's "storage is the shuffle" pattern,
-       index/build.py); a Ray groupby over millions of tiny buckets is the
-       wrong tool at any scale.
-    2. One task per partition emits its buckets' candidate pairs.
-    3. Candidate doc texts are fetched with a broadcast-filter join
-       (candidate-id set is ray.put once; the corpus streams past it) and
-    4. pairs verify by exact Jaccard in a map_batches with the candidate
-       texts broadcast.  Driver memory is O(candidates), not O(corpus).
+       storage; one task per partition emits its buckets' candidate pairs,
+    2. which hash-partition by PAIR KEY to storage (``verify_parts``,
+       default ``bucket_parts``).
+    3. One task per pair partition lists the distinct doc_ids it needs —
+       the doc->partition routing table, the only candidate-proportional
+       driver state (~16 B per (doc, partition) entry; measured 180x
+       smaller than the shingle-dict broadcast it replaced, BASELINE.md).
+    4. The corpus streams past the broadcast routing table: each candidate
+       doc is shingled once and its shingle row is REPLICATED to the pair
+       partitions that need it (co-shuffled through storage).
+    5. One task per pair partition verifies its pairs against its OWN
+       shingle rows — partition-local state, no whole-candidate broadcast —
+       and only QUALIFYING pairs return to the driver (the deliverable).
 
     Edge semantics: two docs with ZERO shingles (token-less text) count as
     exact dups (jaccard 1.0) — they share identical all-max signatures, so
@@ -321,6 +416,7 @@ def minhash_dedup_pairs(
     import ray
     import ray.data
 
+    vparts = verify_parts or bucket_parts
     bands_ds = ds.map_batches(
         MinHashBands(num_perm, bands, shingle_k), batch_format="pyarrow"
     )
@@ -342,36 +438,46 @@ def minhash_dedup_pairs(
         ]
         if not specs:
             return empty
-        cand = (
+        pair_scratch = os.path.join(scratch, "pairs")
+        (
             ray.data.from_items(specs)
             .map_batches(
-                partial(_emit_bucket_pairs, max_bucket_pairs=max_bucket_pairs),
+                partial(_emit_bucket_pairs, max_bucket_members=max_bucket_members),
                 batch_size=1,
                 batch_format="pyarrow",
             )
+            .map_batches(partial(_assign_pair_part, B=vparts), batch_format="pyarrow")
+            .write_parquet(pair_scratch, partition_cols=["ppart"], compression="zstd")
+        )
+        pdirs = sorted(_glob.glob(os.path.join(pair_scratch, "ppart=*")))
+        if not pdirs:
+            return empty
+        needs = (
+            ray.data.from_items([{"src": d} for d in pdirs])
+            .map_batches(_pair_partition_needs, batch_size=1, batch_format="pyarrow")
             .to_pandas()
         )
-        # candidate set is tiny relative to the corpus (dup clusters only);
-        # cross-partition duplicates (same pair from different bands) drop here
-        cand = cand.drop_duplicates().reset_index(drop=True)
-        if len(cand) == 0:
+        if len(needs) == 0:
             return empty
-        need = np.unique(np.concatenate([cand["a"].to_numpy(), cand["b"].to_numpy()]))
-        ids_ref = ray.put(need)
-        sh_df = ds.map_batches(
-            _CandidateShingles(ids_ref, shingle_k), batch_format="pyarrow"
-        ).to_pandas()
-        shingles_ref = ray.put(
-            {
-                int(i): np.asarray(s, dtype=np.uint64)
-                for i, s in zip(sh_df["doc_id"], sh_df["shingles"])
-            }
-        )
-        n_blocks = max(1, min(256, len(cand) // 20000 + 1))
+        # compact CSR routing table: doc_id -> pair partitions needing it
+        needs = needs.sort_values(["doc_id", "ppart"])
+        nid = needs["doc_id"].to_numpy(np.int64)
+        need_ids, starts = np.unique(nid, return_index=True)
+        csr_off = np.concatenate((starts, [len(nid)])).astype(np.int64)
+        route_ref = ray.put((need_ids, csr_off, needs["ppart"].to_numpy(np.int64)))
+        sh_scratch = os.path.join(scratch, "shingles")
+        ds.map_batches(
+            _CandidateShinglesToParts(route_ref, shingle_k), batch_format="pyarrow"
+        ).write_parquet(sh_scratch, partition_cols=["ppart"], compression="zstd")
+        vspecs = [
+            {"pairs": d, "sh": os.path.join(sh_scratch, os.path.basename(d))}
+            for d in pdirs
+        ]
         verified = (
-            ray.data.from_pandas(cand, override_num_blocks=n_blocks)
+            ray.data.from_items(vspecs)
             .map_batches(
-                _VerifyJaccard(shingles_ref, threshold),
+                partial(_verify_partition_task, threshold=threshold),
+                batch_size=1,
                 batch_format="pyarrow",
             )
             .to_pandas()
@@ -402,10 +508,11 @@ class _ShingleRows:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        texts = batch["text"].to_pylist()
+        n = len(ids)
+        sh_flat, sh_off = shingle_hash_batch(_text_col(batch), self.k)
         out_sh, out_id, out_sz = [], [], []
-        for i, text in enumerate(texts):
-            sh = np.unique(shingle_hashes(text, self.k))
+        for i in range(n):
+            sh = np.unique(sh_flat[sh_off[i] : sh_off[i + 1]])
             out_sh.append(sh)
             out_id.append(np.full(len(sh), ids[i], dtype=np.int64))
             out_sz.append(np.full(len(sh), len(sh), dtype=np.int64))
@@ -553,16 +660,6 @@ def ngram_jaccard_pairs(
         ]
         if not specs:
             return empty
-        def assign_pair_part(batch: pa.Table, B=bucket_parts) -> pa.Table:
-            a = batch["a"].to_numpy().astype(np.uint64)
-            b = batch["b"].to_numpy().astype(np.uint64)
-            mixed = (a * np.uint64(0x9E3779B97F4A7C15) ^ b) * np.uint64(
-                0xC2B2AE3D27D4EB4F
-            )
-            return batch.append_column(
-                "ppart", pa.array((mixed % np.uint64(B)).astype(np.int64), pa.int64())
-            )
-
         pair_scratch = os.path.join(scratch, "pairs")
         (
             ray.data.from_items(specs)
@@ -571,7 +668,9 @@ def ngram_jaccard_pairs(
                 batch_size=1,
                 batch_format="pyarrow",
             )
-            .map_batches(assign_pair_part, batch_format="pyarrow")
+            .map_batches(
+                partial(_assign_pair_part, B=bucket_parts), batch_format="pyarrow"
+            )
             .write_parquet(pair_scratch, partition_cols=["ppart"], compression="zstd")
         )
         pspecs = [
@@ -602,56 +701,178 @@ def ngram_jaccard_pairs(
 # --------------------------------------------------------------------------
 
 
-def simhash_pairs(ds, max_hamming: int = 3) -> pd.DataFrame:
+_POPCOUNT_LUT = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array (byte-LUT sum)."""
+    if len(x) == 0:
+        return np.zeros(0, dtype=np.int64)
+    return (
+        _POPCOUNT_LUT[np.ascontiguousarray(x).view(np.uint8).reshape(len(x), 8)]
+        .sum(axis=1)
+        .astype(np.int64)
+    )
+
+
+def _simhash_band_explode(batch: pa.Table) -> pa.Table:
+    """documents' fingerprints -> 4x (band_id, band_hash, doc_id, simhash64)
+    rows, fully vectorized (np.repeat/np.tile — no Python list building)."""
+    sims = batch["simhash64"].to_numpy().astype(np.uint64)
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(ids)
+    shift = np.repeat(np.arange(4, dtype=np.uint64) * np.uint64(16), n)
+    sims_t = np.tile(sims, 4)
+    return pa.table(
+        {
+            "band_id": pa.array(np.repeat(np.arange(4, dtype=np.int32), n)),
+            "band_hash": pa.array((sims_t >> shift) & np.uint64(0xFFFF)),
+            "doc_id": pa.array(np.tile(ids, 4)),
+            "simhash64": pa.array(sims_t),
+        }
+    )
+
+
+def _simhash_partition_pairs(
+    spec: pa.Table, max_hamming: int, max_bucket_members: int | None
+) -> pa.Table:
+    """One simhash bucket partition -> its verified (a, b, hamming) pairs.
+    The fingerprint rides along with the band rows, so Hamming verification
+    is partition-local (no broadcast).  Buckets above ``max_bucket_members``
+    emit star pairs (same semantics and logging as the MinHash cap: post-
+    verify connectivity guaranteed only for identical-fingerprint clusters).
+    """
+    import pyarrow.parquet as pq
+
+    df = pq.read_table(
+        spec["src"][0].as_py(),
+        columns=["band_id", "band_hash", "doc_id", "simhash64"],
+    ).to_pandas()
+    dup = df.duplicated(["band_id", "band_hash"], keep=False)
+    out_a, out_b, out_h = [], [], []
+    for _, g in df[dup].groupby(["band_id", "band_hash"], sort=False):
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        ids = g["doc_id"].to_numpy(np.int64)
+        sims = g["simhash64"].to_numpy().astype(np.uint64)
+        m = len(ids)
+        if m < 2:
+            continue
+        if max_bucket_members is not None and m > max_bucket_members:
+            _LOG.warning(
+                "simhash bucket of %d members exceeds max_bucket_members=%d: "
+                "emitting star pairs (recall loss possible for "
+                "non-identical-fingerprint clusters)",
+                m, max_bucket_members,
+            )
+            ia = np.zeros(m - 1, dtype=np.int64)
+            ib = np.arange(1, m, dtype=np.int64)
+        else:
+            ia, ib = np.triu_indices(m, k=1)
+        ham = _popcount64(sims[ia] ^ sims[ib])
+        keep = ham <= max_hamming
+        out_a.append(ids[ia[keep]])
+        out_b.append(ids[ib[keep]])
+        out_h.append(ham[keep])
+    if not out_a:
+        return pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "hamming": pa.array([], pa.int64()),
+            }
+        )
+    res = pd.DataFrame(
+        {
+            "a": np.concatenate(out_a),
+            "b": np.concatenate(out_b),
+            "hamming": np.concatenate(out_h),
+        }
+    ).drop_duplicates(["a", "b"])  # same pair from several bands in this partition
+    return pa.table(
+        {
+            "a": pa.array(res["a"].to_numpy(np.int64)),
+            "b": pa.array(res["b"].to_numpy(np.int64)),
+            "hamming": pa.array(res["hamming"].to_numpy(np.int64)),
+        }
+    )
+
+
+def simhash_pairs(
+    ds,
+    max_hamming: int = 3,
+    bucket_parts: int = 16,
+    max_bucket_members: int | None = 4096,
+    scratch_dir: str | None = None,
+) -> pd.DataFrame:
     """Near-dup pairs by 64-bit simhash: 4x16-bit band blocking guarantees
-    recall for Hamming distance <= 3; verify by actual distance."""
+    recall for Hamming distance <= 3; verify by actual distance.
+
+    Scale shape (same as minhash_dedup_pairs): band rows hash-partition by
+    bucket to STORAGE (not an in-memory Ray groupby — measured 20x slower
+    here at mid scale), one task per partition emits and Hamming-verifies
+    its buckets' pairs with the fingerprint carried in-row, and only
+    verified pairs reach the driver.  ``max_bucket_members`` is the
+    giant-cluster star-pair valve (expected bucket size is N/65536 per
+    band, so at 10^9 docs buckets average ~15k members — uncapped all-pairs
+    would be ~10^8 pairs per bucket).
+    """
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    import ray
+    import ray.data
+
     from .textstats import fingerprints
 
     fp = ds.map_batches(fingerprints, batch_format="pyarrow").select_columns(
         ["doc_id", "simhash64"]
     )
-
-    def bands(batch: pa.Table) -> pa.Table:
-        sims = batch["simhash64"].to_numpy().astype(np.uint64)
-        ids = batch["doc_id"].to_numpy()
-        out_band, out_key, out_id, out_sim = [], [], [], []
-        for bi in range(4):
-            key = (sims >> np.uint64(16 * bi)) & np.uint64(0xFFFF)
-            out_band.extend([bi] * len(ids))
-            out_key.extend(key.tolist())
-            out_id.extend(ids.tolist())
-            out_sim.extend(sims.tolist())
-        return pa.table(
-            {
-                "band_id": pa.array(out_band, pa.int32()),
-                "key": pa.array(np.array(out_key, dtype=np.uint64)),
-                "doc_id": pa.array(out_id, pa.int64()),
-                "simhash64": pa.array(np.array(out_sim, dtype=np.uint64)),
-            }
-        )
-
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        sims = g["simhash64"].to_numpy().astype(np.uint64)
-        if len(ids) < 2:
-            return pd.DataFrame({"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64), "hamming": pd.Series(dtype=np.int64)})
-        ia, ib = np.triu_indices(len(ids), k=1)
-        ham = np.array(
-            [bin(int(sims[x]) ^ int(sims[y])).count("1") for x, y in zip(ia, ib)]
-        )
-        keep = ham <= max_hamming
-        return pd.DataFrame({"a": ids[ia[keep]], "b": ids[ib[keep]], "hamming": ham[keep]})
-
-    out = (
-        fp.map_batches(bands, batch_format="pyarrow")
-        .groupby(["band_id", "key"])
-        .map_groups(pairs, batch_format="pandas")
-        .to_pandas()
+    empty = pd.DataFrame(
+        {
+            "a": pd.Series(dtype=np.int64),
+            "b": pd.Series(dtype=np.int64),
+            "hamming": pd.Series(dtype=np.int64),
+        }
     )
+    owns = scratch_dir is None
+    scratch = scratch_dir or tempfile.mkdtemp(prefix="simhash_bands_")
+    try:
+        (
+            fp.map_batches(_simhash_band_explode, batch_format="pyarrow")
+            .map_batches(_AssignBucketPart(bucket_parts), batch_format="pyarrow")
+            .write_parquet(scratch, partition_cols=["bpart"], compression="zstd")
+        )
+        specs = [
+            {"src": d} for d in sorted(_glob.glob(os.path.join(scratch, "bpart=*")))
+        ]
+        if not specs:
+            return empty
+        out = (
+            ray.data.from_items(specs)
+            .map_batches(
+                partial(
+                    _simhash_partition_pairs,
+                    max_hamming=max_hamming,
+                    max_bucket_members=max_bucket_members,
+                ),
+                batch_size=1,
+                batch_format="pyarrow",
+            )
+            .to_pandas()
+        )
+    finally:
+        if owns:
+            shutil.rmtree(scratch, ignore_errors=True)
     if len(out) == 0:
-        return pd.DataFrame({"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64), "hamming": pd.Series(dtype=np.int64)})
-    return out.drop_duplicates(["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)
+        return empty
+    # same pair can surface from bands living in different partitions
+    return (
+        out.drop_duplicates(["a", "b"])
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+        .astype({"a": np.int64, "b": np.int64, "hamming": np.int64})
+    )
 
 
 # --------------------------------------------------------------------------

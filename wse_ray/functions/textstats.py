@@ -20,7 +20,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..stages.vectorized_tokenize import tokenize_batch
+from ..stages.vectorized_tokenize import content_hash64, tokenize_batch
 
 # small built-in stopword list (engine + SQL oracle share it verbatim)
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
@@ -129,22 +129,31 @@ def lang_id(batch: pa.Table) -> pa.Table:
 
 
 def _rolling64_batch(data: np.ndarray, offsets: np.ndarray, base: int = 1000003) -> np.ndarray:
-    """Vectorized polynomial rolling hash mod 2**64 (natural uint64 wrap):
-    one vectorized step per byte POSITION across all docs in the batch
-    instead of a Python loop per byte."""
+    """Vectorized polynomial rolling hash mod 2**64 (natural uint64 wrap —
+    NOT the (1<<61)-1 Mersenne modulus some rolling-hash formulations use;
+    values are pinned by tests, note before persisting fingerprints).
+
+    Docs are processed in LENGTH order so each byte-position step touches a
+    contiguous suffix of still-live docs (slice, not dead-mask): total cost
+    is O(total bytes) even when one 1 MB doc shares a batch with tweets.
+    Per-doc values are position-independent, so the reorder cannot change
+    results."""
     n_docs = len(offsets) - 1
-    lens = offsets[1:] - offsets[:-1]
+    lens = (offsets[1:] - offsets[:-1]).astype(np.int64)
     out = np.zeros(n_docs, dtype=np.uint64)
-    if len(data) == 0:
+    if len(data) == 0 or n_docs == 0:
         return out
     b = np.uint64(base)
-    max_len = int(lens.max())
-    starts = offsets[:-1]
+    order = np.argsort(lens, kind="stable")
+    sstarts = offsets[:-1][order].astype(np.int64)
+    slens = lens[order]
+    h = np.zeros(n_docs, dtype=np.uint64)
     with np.errstate(over="ignore"):
-        for j in range(max_len):
-            live = lens > j
-            idx = starts[live] + j
-            out[live] = out[live] * b + data[idx].astype(np.uint64)
+        for j in range(int(slens[-1])):
+            k = int(np.searchsorted(slens, j, side="right"))
+            idx = sstarts[k:] + j
+            h[k:] = h[k:] * b + data[idx].astype(np.uint64)
+    out[order] = h
     return out
 
 
@@ -156,9 +165,9 @@ def _simhash64_batch(terms: pa.Array, tfs: np.ndarray, offsets: np.ndarray) -> n
     out = np.zeros(n_docs, dtype=np.uint64)
     if len(tfs) == 0:
         return out
-    hashes = pd.util.hash_array(
-        np.asarray(terms.to_pylist(), dtype=object), categorize=False
-    )
+    # content-complete buffer-level FNV-1a hash — zero per-token Python
+    # objects, and the values no longer depend on pandas' hash internals
+    hashes = content_hash64(terms)
     signed = np.empty(len(tfs), dtype=np.int64)
     for j in range(64):
         bit = ((hashes >> np.uint64(j)) & np.uint64(1)).astype(np.int64)
@@ -201,7 +210,7 @@ def simhash64(data: bytes) -> int:
     if not toks:
         return 0
     s = pd.Series(toks, dtype=object).value_counts()
-    hashes = pd.util.hash_array(np.asarray(s.index, dtype=object), categorize=False)
+    hashes = content_hash64(pa.array(list(s.index), pa.large_binary()))
     weights = s.to_numpy(np.int64)
     bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
     acc = ((bits * 2 - 1) * weights[:, None]).sum(axis=0)

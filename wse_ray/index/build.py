@@ -59,6 +59,10 @@ from ..stages.extract import ExtractText
 from ..stages.tokenize_stage import TokenizeDocs, explode_postings
 from ..sources.corpus import read_corpus
 
+# driver-side bound on heavy-candidate partial rows PER BATCH when the
+# corpus size is unknown (callable corpora): see TokenizeWriteRuns._partials
+_CALLABLE_PARTIALS_CAP = 4096
+
 LEXICON_SCHEMA = pa.schema(
     [
         ("term", pa.large_binary()),
@@ -137,6 +141,16 @@ class TokenizeWriteRuns:
         else:
             cutoff = max(1.0, self.threshold * len(dl) / (2.0 * self.approx_docs))
         keep = np.flatnonzero(counts >= cutoff)
+        if self.approx_docs <= 0 and len(keep) > _CALLABLE_PARTIALS_CAP:
+            # unknown corpus size -> cutoff 1 would ship the FULL per-batch
+            # vocab to the driver (batches x vocab rows).  Cap to the top-M
+            # by count: routing-only (a missed heavy term costs shuffle
+            # skew, never correctness), and a globally heavy term is by
+            # definition near the top of most batches' counts.
+            top = np.argpartition(-counts[keep], _CALLABLE_PARTIALS_CAP - 1)[
+                :_CALLABLE_PARTIALS_CAP
+            ]
+            keep = keep[top]
         cand_terms = vc.field("values").take(pa.array(keep)).cast(pa.large_binary())
         n_cand = len(keep)
         return pa.table(

@@ -26,25 +26,23 @@ SNIPPETS_GOLDEN_SF001 = """
 
 SIMHASH_GOLDEN_SF001_COLS = ['a', 'b', 'hamming']
 SIMHASH_GOLDEN_SF001 = """
-(8, 245, 1),
-(31, 383, 2),
-(32, 399, 3),
+(24, 357, 3),
+(31, 383, 1),
+(45, 267, 2),
 (45, 413, 2),
-(58, 293, 2),
-(61, 185, 2),
-(70, 447, 0),
-(72, 377, 2),
-(98, 290, 2),
-(107, 387, 2),
-(120, 332, 3),
-(152, 178, 1),
-(166, 323, 3),
-(267, 413, 2),
-(285, 301, 3),
-(295, 374, 3),
-(353, 376, 3),
-(393, 420, 3),
-(435, 486, 2)"""  # 19 rows
+(58, 293, 1),
+(61, 185, 1),
+(70, 447, 1),
+(72, 377, 3),
+(92, 450, 3),
+(98, 290, 1),
+(107, 387, 3),
+(120, 332, 2),
+(152, 178, 2),
+(267, 413, 0),
+(285, 301, 1),
+(393, 420, 0),
+(458, 462, 2)"""  # 17 rows
 
 ANN_IVF_GOLDEN_SF001_COLS = ['query_id', 'rank', 'vec_id', 'cosine']
 ANN_IVF_GOLDEN_SF001 = """

@@ -467,8 +467,10 @@ ORDER BY query_id, rank"""
 def sql_dedup_simhash() -> str:
     from .goldens import SIMHASH_GOLDEN_SF001
 
-    # pinned-golden oracle: simhash64 uses pandas' 64-bit token hash, which
-    # SQL cannot recompute independently; banding+Hamming are pytest-pinned
+    # pinned-golden oracle: simhash64 folds a 64-bit FNV-1a token hash,
+    # which SQL cannot recompute; banding+Hamming are pytest-pinned
+    # (golden regenerated 2026-08-17 when the token hash moved from
+    # pandas' object hash to the portable buffer-level FNV-1a)
     return f"""
 SELECT a::BIGINT AS a, b::BIGINT AS b, hamming::BIGINT AS hamming
 FROM (VALUES {SIMHASH_GOLDEN_SF001}) AS t(a, b, hamming)

@@ -66,8 +66,16 @@ def q_pricing_summary(sf_dir: str) -> pd.DataFrame:
 
 
 def q_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
-    """customer⋈orders revenue per nation — broadcast hash join of the small
-    dimension side (ray.put once, probed per batch; no shuffle)."""
+    """customer⋈orders revenue per nation — broadcast hash join of the
+    dimension side (ray.put once, probed per batch; no shuffle).
+
+    Join-strategy envelope: broadcast is right ONLY while the build side
+    fits comfortably in every worker's heap (nation always does; customer
+    does at bench scale but NOT at TPC-H-100TB).  When it outgrows that,
+    switch to the repo's partitioned-join shape: hash-partition BOTH sides
+    by the join key to storage (``_assign_pair_part`` pattern,
+    functions/dedup.py) and join per partition — same two-stage layout the
+    dedup engines use; no driver or broadcast state."""
     import ray
     from ray.data.aggregate import Sum
 
@@ -86,7 +94,16 @@ def q_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
     def attach_nation(t: pa.Table) -> pa.Table:
         ck, nk_arr = ray.get(ref)
         keys = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        nk = nk_arr[np.searchsorted(ck, keys)]
+        idx = np.minimum(np.searchsorted(ck, keys), len(ck) - 1)
+        # membership check: an o_custkey absent from customer must fail
+        # loudly (FK violation), not silently map to a neighboring key
+        missing = ck[idx] != keys
+        if missing.any():
+            raise KeyError(
+                f"orders.o_custkey values missing from customer: "
+                f"{np.unique(keys[missing])[:5].tolist()}..."
+            )
+        nk = nk_arr[idx]
         return pa.table(
             {
                 "n_nationkey": pa.array(nk, pa.int64()),

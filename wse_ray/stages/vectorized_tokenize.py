@@ -47,19 +47,15 @@ def _binary_buffer(texts: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     return data, offsets
 
 
-def tokenize_batch(
-    texts: pa.Array, mode: str = "trec"
-) -> tuple[pa.Array, pa.Array, np.ndarray, np.ndarray]:
-    """Returns (terms list<large_binary>, tfs list<uint32>, dataLen, wordnums)
-    aligned with the input rows."""
-    data, doc_off = _binary_buffer(texts)
-    n_docs = len(doc_off) - 1
-    datalens = (doc_off[1:] - doc_off[:-1]).astype(np.uint64)
+def _token_spans(
+    data: np.ndarray, doc_off: np.ndarray, mode: str
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Ordered token spans of the concatenated text buffer:
+    (t_start, t_end, doc_idx), all ascending — the shared front half of
+    tokenize_batch and the hash-only consumers (shingle_hash_batch)."""
     if len(data) == 0:
-        empty_terms = pa.array([[] for _ in range(n_docs)], pa.large_list(pa.large_binary()))
-        empty_tfs = pa.array([[] for _ in range(n_docs)], pa.large_list(pa.uint32()))
-        return empty_terms, empty_tfs, datalens, np.zeros(n_docs, np.uint32)
-
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, z
     tok = ~_SEP_LUT[data]
     prev = np.empty_like(tok)
     prev[0] = False
@@ -104,6 +100,18 @@ def tokenize_batch(
         # its document (no separator after it, hw2/DataLoader.cpp:36-57)
         keep &= t_end != doc_off[1:][doc_idx]
         t_start, t_end, doc_idx = t_start[keep], t_end[keep], doc_idx[keep]
+    return t_start, t_end, doc_idx
+
+
+def tokenize_batch(
+    texts: pa.Array, mode: str = "trec"
+) -> tuple[pa.Array, pa.Array, np.ndarray, np.ndarray]:
+    """Returns (terms list<large_binary>, tfs list<uint32>, dataLen, wordnums)
+    aligned with the input rows."""
+    data, doc_off = _binary_buffer(texts)
+    n_docs = len(doc_off) - 1
+    datalens = (doc_off[1:] - doc_off[:-1]).astype(np.uint64)
+    t_start, t_end, doc_idx = _token_spans(data, doc_off, mode)
 
     lens = t_end - t_start
     total = int(lens.sum())
@@ -148,3 +156,84 @@ def tokenize_batch(
     )
     wordnums = (list_offsets[1:] - list_offsets[:-1]).astype(np.uint32)
     return terms_list, tfs_list, datalens, wordnums
+
+
+# --------------------------------------------------------------------------
+# vectorized content hashing (FNV-1a 64) straight from Arrow buffers
+# --------------------------------------------------------------------------
+
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+_SHINGLE_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _span_hash64(data: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Vectorized FNV-1a 64-bit hash of arbitrary byte spans of one buffer.
+
+    Spans are processed in LENGTH order, so each byte-position step touches
+    a contiguous suffix of still-live spans (slice, not dead-mask): total
+    cost is O(total span bytes) even when one span is far longer than the
+    rest.  Content-complete (every byte mixed) — unlike the routing-only
+    prefix/suffix hash in index/build.py — and library-portable, replacing
+    the object-dtype ``pd.util.hash_array`` paths that pinned fingerprint
+    values to pandas' hash implementation.
+    """
+    n = len(starts)
+    out = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    if n == 0 or len(data) == 0:
+        return out
+    order = np.argsort(lens, kind="stable")
+    sstarts = starts[order].astype(np.int64)
+    slens = lens[order].astype(np.int64)
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(int(slens[-1])):
+            k = int(np.searchsorted(slens, j, side="right"))
+            idx = sstarts[k:] + j
+            h[k:] = (h[k:] ^ data[idx].astype(np.uint64)) * _FNV_PRIME
+    out[order] = h
+    return out
+
+
+def content_hash64(arr: pa.Array) -> np.ndarray:
+    """FNV-1a 64-bit content hash of every value of a binary/string array,
+    computed straight from the Arrow buffers (zero per-row Python objects)."""
+    data, offsets = _binary_buffer(arr)
+    starts = offsets[:-1]
+    return _span_hash64(data, starts, offsets[1:] - starts)
+
+
+def shingle_hash_batch(texts: pa.Array, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Word k-shingle hashes for EVERY doc of a batch in one vectorized pass.
+
+    Returns (flat shingle hashes, doc-major; per-doc int64 offsets into it).
+    Tokens are hashed content-complete from the shared text buffer (no token
+    strings, no per-doc Python tokenize) and window hashes combine the k
+    token hashes with a polynomial mix — the shingle-hash SET is 1:1 with
+    the string k-shingle set (modulo 64-bit collisions), so Jaccard values
+    over these hashes match a string-shingle oracle exactly.  Docs with
+    0 < n < k tokens emit one whole-sequence shingle; zero-token docs emit
+    none.  Simple tokenizer mode (trailing token flushed, first line kept).
+    """
+    data, doc_off = _binary_buffer(texts)
+    n_docs = len(doc_off) - 1
+    t_start, t_end, doc_idx = _token_spans(data, doc_off, "simple")
+    h = _span_hash64(data, t_start, t_end - t_start)
+    ntok = np.bincount(doc_idx, minlength=n_docs).astype(np.int64)
+    tok_off = np.concatenate(([0], np.cumsum(ntok)))
+    kk = np.minimum(k, ntok)
+    nsh = np.where(ntok > 0, ntok - kk + 1, 0)
+    sh_off = np.concatenate(([0], np.cumsum(nsh))).astype(np.int64)
+    total = int(sh_off[-1])
+    if total == 0:
+        return np.zeros(0, dtype=np.uint64), sh_off
+    # flat window starts: for doc i, windows begin at tok_off[i] .. tok_off[i]+nsh[i]-1
+    within = np.arange(total, dtype=np.int64) - np.repeat(sh_off[:-1], nsh)
+    wstart = np.repeat(tok_off[:-1], nsh) + within
+    kk_flat = np.repeat(kk, nsh)
+    c = h[wstart].copy()
+    with np.errstate(over="ignore"):
+        for j in range(1, int(k)):
+            live = kk_flat > j
+            c[live] = (c[live] * _SHINGLE_MIX) ^ h[wstart[live] + j]
+    return c, sh_off
