@@ -174,6 +174,25 @@ def test_ivf_index_params_change_forces_rebuild(ray_session, tmp_path):
         assert json.load(f) == {"n_clusters": 8, "sample_rows": 64}
 
 
+def test_minhash_band_match_prefilter(ray_session):
+    """min_band_matches=2 must keep high-Jaccard planted dups (exact dups
+    match in all 16 bands) while still returning the identical pair set on
+    this corpus; a doc with no near-dup must never appear."""
+    import ray.data
+    from wse_ray.functions.dedup import minhash_dedup_pairs
+
+    rows = [{"doc_id": i, "text": "same exact words here " * 5} for i in range(8)]
+    rows += [
+        {"doc_id": 100 + i, "text": " ".join(f"u{i}v{j}" for j in range(30))}
+        for i in range(5)
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    base = minhash_dedup_pairs(ds, threshold=0.9)
+    filt = minhash_dedup_pairs(ds, threshold=0.9, min_band_matches=2)
+    assert len(base) == 8 * 7 // 2
+    pd.testing.assert_frame_equal(base, filt)
+
+
 def test_simhash_giant_cluster_star_pairs(ray_session):
     """30 identical docs with a tiny bucket-member cap must still all
     collapse to one representative through the star-pair fallback

@@ -207,13 +207,25 @@ def _emit_bucket_pairs(spec: pa.Table, max_bucket_members: int | None = None) ->
         _bucket_pairs(g, max_bucket_members)
         for _, g in df[dup].groupby(["band_id", "band_hash"], sort=False)
     ]
-    out = (
-        pd.concat(frames, ignore_index=True).drop_duplicates()
-        if frames
-        else pd.DataFrame({"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64)})
-    )
+    if not frames:
+        return pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "m": pa.array([], pa.int64()),
+            }
+        )
+    # a pair emitted by several bands is KEPT AS A COUNT (m): the band-match
+    # multiplicity is a free Jaccard estimator (m ~ Binomial(bands, j^r))
+    # consumed by the min_band_matches prefilter downstream
+    allp = pd.concat(frames, ignore_index=True)
+    out = allp.groupby(["a", "b"], sort=False).size().reset_index(name="m")
     return pa.table(
-        {"a": pa.array(out["a"], pa.int64()), "b": pa.array(out["b"], pa.int64())}
+        {
+            "a": pa.array(out["a"].to_numpy(np.int64)),
+            "b": pa.array(out["b"].to_numpy(np.int64)),
+            "m": pa.array(out["m"].to_numpy(np.int64)),
+        }
     )
 
 
@@ -229,22 +241,29 @@ def _assign_pair_part(batch: pa.Table, B: int) -> pa.Table:
     )
 
 
-def _pair_partition_needs(spec: pa.Table) -> pa.Table:
-    """One pair partition -> the DISTINCT doc_ids it needs shingles for,
-    tagged with the partition id — the rows of the doc->partition routing
-    table (16 B/entry; the shingle content itself never rides along)."""
+def _load_filtered_pairs(src: str, min_band_matches: int) -> pd.DataFrame:
+    """Read ONE pair partition, sum the band-match multiplicity m per
+    (a, b) across source bucket partitions (a given pair always lands whole
+    in one partition), and apply the ``min_band_matches`` prefilter."""
     import pyarrow.parquet as pq
 
+    t = pq.read_table(src, columns=["a", "b", "m"]).to_pandas()
+    g = t.groupby(["a", "b"], sort=False)["m"].sum().reset_index()
+    if min_band_matches > 1:
+        g = g[g["m"] >= min_band_matches]
+    return g
+
+
+def _pair_partition_needs(spec: pa.Table, min_band_matches: int = 1) -> pa.Table:
+    """One pair partition -> the DISTINCT doc_ids it needs shingles for
+    (post-prefilter), tagged with the partition id — the rows of the
+    doc->partition routing table (16 B/entry; the shingle content itself
+    never rides along)."""
     src = spec["src"][0].as_py()
     ppart = int(os.path.basename(src.rstrip("/")).split("=", 1)[1])
-    t = pq.read_table(src, columns=["a", "b"])
+    g = _load_filtered_pairs(src, min_band_matches)
     ids = np.unique(
-        np.concatenate(
-            [
-                t["a"].to_numpy(zero_copy_only=False).astype(np.int64),
-                t["b"].to_numpy(zero_copy_only=False).astype(np.int64),
-            ]
-        )
+        np.concatenate([g["a"].to_numpy(np.int64), g["b"].to_numpy(np.int64)])
     )
     return pa.table(
         {
@@ -326,28 +345,37 @@ class _CandidateShinglesToParts:
         )
 
 
-def _verify_partition_task(spec: pa.Table, threshold: float) -> pa.Table:
+def _verify_partition_task(
+    spec: pa.Table, threshold: float, min_band_matches: int = 1
+) -> pa.Table:
     """One pair partition -> its verified (a, b, jaccard) rows.  Reads its
-    OWN pairs and its OWN co-shuffled shingle rows — no broadcast state;
-    partition size is bounded by choosing the partition count.  Sorted-array
-    intersection == set Jaccard on the same hashes."""
+    OWN (prefiltered) pairs and its OWN co-shuffled shingle rows — no
+    broadcast state; partition size is bounded by choosing the partition
+    count.  Shingle sets stay in ONE flat Arrow-backed uint64 buffer
+    addressed by (offset, length) per doc — no per-row Python list
+    materialization.  Sorted-array intersection == set Jaccard."""
     import pyarrow.parquet as pq
 
-    pairs = (
-        pq.read_table(spec["pairs"][0].as_py(), columns=["a", "b"])
-        .to_pandas()
-        .drop_duplicates()  # same pair from different bands/band-partitions
-    )
+    pairs = _load_filtered_pairs(spec["pairs"][0].as_py(), min_band_matches)
     sh_t = pq.read_table(spec["sh"][0].as_py(), columns=["doc_id", "shingles"])
-    sh: dict[int, np.ndarray] = {
-        int(i): np.asarray(s, dtype=np.uint64)
-        for i, s in zip(
-            sh_t["doc_id"].to_numpy(zero_copy_only=False), sh_t["shingles"].to_pylist()
-        )
-    }
+    col = sh_t["shingles"].combine_chunks()
+    vals = col.values.to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
+    offs = np.asarray(col.offsets)
+    ids = sh_t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    sids = ids[order]
+
+    def row_of(doc: int) -> int:
+        i = int(np.searchsorted(sids, doc))
+        if i >= len(sids) or sids[i] != doc:
+            raise KeyError(f"candidate doc {doc} missing from shingle partition")
+        return int(order[i])
+
     out_a, out_b, out_j = [], [], []
-    for a, b in zip(pairs["a"], pairs["b"]):
-        sa, sb = sh[int(a)], sh[int(b)]
+    for a, b in zip(pairs["a"].to_numpy(np.int64), pairs["b"].to_numpy(np.int64)):
+        ra, rb = row_of(a), row_of(b)
+        sa = vals[offs[ra] : offs[ra + 1]]
+        sb = vals[offs[rb] : offs[rb + 1]]
         if len(sa) == 0 and len(sb) == 0:
             j = 1.0
         else:
@@ -376,8 +404,20 @@ def minhash_dedup_pairs(
     bucket_parts: int = 16,
     max_bucket_members: int | None = 4096,
     verify_parts: int | None = None,
+    min_band_matches: int = 1,
 ):
     """Verified near-dup pairs (a < b, exact shingle-Jaccard >= threshold).
+
+    ``min_band_matches``: candidate prefilter on the number m of LSH bands
+    that matched for a pair (m ~ Binomial(bands, j^rows), counted for free
+    from pair multiplicity in the pair-keyed shuffle).  The default 1 keeps
+    the classic any-band-matches LSH semantics.  On candidate-heavy corpora
+    (huge moderate-Jaccard pair mass, e.g. tiny-vocab web boilerplate)
+    raising it to 2-3 collapses the verify volume by orders of magnitude at
+    a small, quantified recall cost at the threshold boundary: with 16x4
+    LSH, P(m >= 2 | j=0.8) = 99.8%, P(m >= 2 | j=0.9) ~ 1-4e-7, while
+    j~0.45 junk drops ~10x.  (Note the UNFILTERED contract already has
+    P(m >= 1 | j=0.8) = 99.98% — LSH recall at the boundary was never 1.)
 
     ``max_bucket_members``: buckets with more MEMBERS than this emit star
     pairs instead of all pairs (see _bucket_pairs) — the
@@ -454,7 +494,11 @@ def minhash_dedup_pairs(
             return empty
         needs = (
             ray.data.from_items([{"src": d} for d in pdirs])
-            .map_batches(_pair_partition_needs, batch_size=1, batch_format="pyarrow")
+            .map_batches(
+                partial(_pair_partition_needs, min_band_matches=min_band_matches),
+                batch_size=1,
+                batch_format="pyarrow",
+            )
             .to_pandas()
         )
         if len(needs) == 0:
@@ -469,14 +513,24 @@ def minhash_dedup_pairs(
         ds.map_batches(
             _CandidateShinglesToParts(route_ref, shingle_k), batch_format="pyarrow"
         ).write_parquet(sh_scratch, partition_cols=["ppart"], compression="zstd")
+        # only partitions with surviving (post-prefilter) pairs have shingle
+        # rows; the rest have nothing to verify
+        live = set(int(p) for p in needs["ppart"].unique())
         vspecs = [
             {"pairs": d, "sh": os.path.join(sh_scratch, os.path.basename(d))}
             for d in pdirs
+            if int(os.path.basename(d).split("=", 1)[1]) in live
         ]
+        if not vspecs:
+            return empty
         verified = (
             ray.data.from_items(vspecs)
             .map_batches(
-                partial(_verify_partition_task, threshold=threshold),
+                partial(
+                    _verify_partition_task,
+                    threshold=threshold,
+                    min_band_matches=min_band_matches,
+                ),
                 batch_size=1,
                 batch_format="pyarrow",
             )
