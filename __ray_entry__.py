@@ -66,6 +66,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": eq.q_ann_topk,
         "ann_ivf": eq.q_ann_ivf,  # pinned-golden oracle (approximate by design)
         "multimodal_meta": eq.q_multimodal_meta,
+        # hw1 crawler over a local deterministic page store (no network);
+        # iterative frontier state is not SQL-expressible -> rows-only gate
+        "crawl_frontier": eq.q_crawl_frontier,
         # relational / streaming-shaped demos
         "pricing_summary": rel.q_pricing_summary,
         "revenue_by_nation": rel.q_revenue_by_nation,

@@ -522,3 +522,39 @@ def q_multimodal_meta(sf_dir: str) -> pd.DataFrame:
             "decoded": np.int64,  # 0/1 so the DuckDB oracle types align
         }
     ).sort_values("media_id").reset_index(drop=True)
+
+
+def q_crawl_frontier(sf_dir: str) -> pd.DataFrame:
+    """hw1 crawler over the deterministic synthetic web store (no network
+    in this container; fetch resolves against a local page-store parquet —
+    wse_ray/crawl.py documents the re-expression and pinned deviations).
+
+    No SQL oracle: a priority-frontier crawl with evolving discovery-count
+    scores is iterative state, not a relational query — the driver records
+    the weaker rows-only check; semantics are pinned by tests/test_crawl.py
+    (hand-verified scores, filters, budget and robots behavior)."""
+    import os as _os
+
+    from ..crawl import crawl, make_web_store
+
+    store = _os.path.join("/tmp", "wse_crawl_store_v1.parquet")
+    if not _os.path.exists(store):
+        make_web_store(store, n_domains=6, pages_per_domain=12, seed=42)
+    out = crawl(
+        store,
+        seeds=["https://site0.example/page0", "https://site2.example/page5"],
+        page_budget=40,
+        round_size=8,
+    )
+    log = out["log"].copy()
+    log["priority"] = log["priority"].round(6)
+    return log.astype(
+        {
+            "ord": np.int64,
+            "round": np.int64,
+            "status": np.int64,
+            "size": np.int64,
+            "in_sample": np.int64,
+            "n_links_enqueued": np.int64,
+        }
+    )
