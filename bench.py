@@ -61,18 +61,33 @@ def run_build(corpus_dir: str, out_dir: str, num_partitions: int | None = None) 
     if num_partitions is None:
         # size partitions to the corpus so no single encode task straggles
         num_partitions = max(32, BENCH_DOCS // 25000)
-    shutil.rmtree(out_dir, ignore_errors=True)
-    t0 = time.perf_counter()
-    manifest = build_index(
-        corpus_dir, out_dir, BuildConfig(num_partitions=num_partitions)
+    # best-of-reps: the burstable host varies +-40% between windows; min is
+    # the standard estimator here (BASELINE.md hardware note). Scaling runs
+    # (WSE_BENCH_BUILD_ONLY=1) keep 1 rep — bench.py --scaling already does
+    # best-of-reps across whole processes.
+    reps = 1 if os.environ.get("WSE_BENCH_BUILD_ONLY") == "1" else int(
+        os.environ.get("WSE_BENCH_BUILD_REPS", "2")
     )
-    sec = time.perf_counter() - t0
+    best = None
+    secs = []
+    for _ in range(reps):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        manifest = build_index(
+            corpus_dir, out_dir, BuildConfig(num_partitions=num_partitions)
+        )
+        sec = time.perf_counter() - t0
+        secs.append(round(sec, 3))
+        if best is None or sec < best[0]:
+            best = (sec, manifest)
+    sec, manifest = best
     n = manifest["stats"]["N"]
     return {
         "sec": round(sec, 3),
         "docs": n,
         "docs_per_sec": round(n / sec, 1),
         "timings": manifest["timings_sec"],
+        "rep_secs": secs,
     }
 
 
