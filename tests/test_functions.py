@@ -174,6 +174,23 @@ def test_ivf_index_params_change_forces_rebuild(ray_session, tmp_path):
         assert json.load(f) == {"n_clusters": 8, "sample_rows": 64}
 
 
+def test_minhash_nondefault_verify_parts(ray_session):
+    """verify_parts decoupled from bucket_parts must not change results
+    (pair routing and shingle co-shuffle agree partition-for-partition)."""
+    import ray.data
+    from wse_ray.functions.dedup import minhash_dedup_pairs
+
+    rows = [{"doc_id": i, "text": "common shared sentence here " * 4} for i in range(6)]
+    rows += [
+        {"doc_id": 50 + i, "text": " ".join(f"r{i}s{j}" for j in range(25))}
+        for i in range(4)
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    base = minhash_dedup_pairs(ds, threshold=0.9)
+    alt = minhash_dedup_pairs(ds, threshold=0.9, bucket_parts=5, verify_parts=3)
+    pd.testing.assert_frame_equal(base, alt)
+
+
 def test_minhash_band_match_prefilter(ray_session):
     """min_band_matches=2 must keep high-Jaccard planted dups (exact dups
     match in all 16 bands) while still returning the identical pair set on

@@ -448,6 +448,10 @@ def minhash_dedup_pairs(
     exact dups (jaccard 1.0) — they share identical all-max signatures, so
     they always co-bucket.  The SQL ground-truth oracle has no shingle rows
     for such docs and omits those pairs; the testdata contains none.
+
+    ``scratch_dir``, when supplied, must be EMPTY/FRESH: stale ``bpart=``/
+    ``pairs``/``shingles`` children from a previous run would be globbed
+    into this one.
     """
     import glob as _glob
     import shutil
