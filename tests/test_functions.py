@@ -174,6 +174,40 @@ def test_ivf_index_params_change_forces_rebuild(ray_session, tmp_path):
         assert json.load(f) == {"n_clusters": 8, "sample_rows": 64}
 
 
+def test_minhash_scratch_resume(ray_session, tmp_path):
+    """With a caller-supplied scratch dir, completed storage stages are
+    marked and skipped on rerun (same results, band files untouched); a
+    layout-param change invalidates the cache and rebuilds."""
+    import glob
+    import os
+
+    import ray.data
+    from wse_ray.functions.dedup import minhash_dedup_pairs
+
+    rows = [{"doc_id": i, "text": "resume me please now " * 4} for i in range(5)]
+    rows += [
+        {"doc_id": 30 + i, "text": " ".join(f"k{i}l{j}" for j in range(20))}
+        for i in range(3)
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    scratch = str(tmp_path / "scr")
+    os.makedirs(scratch)
+    p1 = minhash_dedup_pairs(ds, threshold=0.9, scratch_dir=scratch)
+    band_files = sorted(glob.glob(scratch + "/bands/bpart=*/*.parquet"))
+    assert band_files and os.path.exists(scratch + "/bands/_SUCCESS")
+    mt = [os.path.getmtime(f) for f in band_files]
+    p2 = minhash_dedup_pairs(ds, threshold=0.9, scratch_dir=scratch)
+    pd.testing.assert_frame_equal(p1, p2)
+    assert [os.path.getmtime(f) for f in sorted(
+        glob.glob(scratch + "/bands/bpart=*/*.parquet"))] == mt  # stage skipped
+    # layout-param change -> cache invalidated, stages rebuilt, still correct
+    p3 = minhash_dedup_pairs(ds, threshold=0.9, scratch_dir=scratch, bands=8)
+    assert set(zip(p1["a"], p1["b"])) == set(zip(p3["a"], p3["b"]))
+    assert sorted(glob.glob(scratch + "/bands/bpart=*/*.parquet")) != band_files or [
+        os.path.getmtime(f) for f in band_files if os.path.exists(f)
+    ] != mt
+
+
 def test_minhash_nondefault_verify_parts(ray_session):
     """verify_parts decoupled from bucket_parts must not change results
     (pair routing and shingle co-shuffle agree partition-for-partition)."""

@@ -33,6 +33,25 @@ _MERSENNE = (1 << 61) - 1
 _LOG = logging.getLogger("wse_ray.dedup")
 
 
+def _stage_done(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def _stage_mark(path: str) -> None:
+    with open(os.path.join(path, "_SUCCESS"), "w") as f:
+        f.write("ok\n")
+
+
+def _fresh_stage(path: str) -> str:
+    """Reset a stage dir for a (re)write: a crashed partial write must not
+    leave fragments that a resume would read as complete."""
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
 def _text_col(batch: pa.Table) -> pa.Array:
     col = batch["text"]
     return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
@@ -449,9 +468,12 @@ def minhash_dedup_pairs(
     they always co-bucket.  The SQL ground-truth oracle has no shingle rows
     for such docs and omits those pairs; the testdata contains none.
 
-    ``scratch_dir``, when supplied, must be EMPTY/FRESH: stale ``bpart=``/
-    ``pairs``/``shingles`` children from a previous run would be globbed
-    into this one.
+    ``scratch_dir``, when supplied, is a per-corpus RESUME root: each
+    storage stage (``bands``/``pairs``/``shingles``) carries a ``_SUCCESS``
+    marker and is skipped when already complete, so a failed late stage
+    reuses the earlier passes.  A ``params.json`` stamp invalidates the
+    cache when layout parameters change; the CALLER owns corpus identity —
+    reusing one scratch dir across different corpora returns stale pairs.
     """
     import glob as _glob
     import shutil
@@ -473,26 +495,61 @@ def minhash_dedup_pairs(
             "jaccard": pd.Series(dtype=float),
         }
     )
+    # stage-level resume: when the caller supplies a scratch dir, each
+    # completed storage stage (bands / pairs / shingles) is marked and
+    # SKIPPED on rerun — a failed 100 TB verify must not redo the band
+    # pass.  params.json guards against resuming under changed layout
+    # params (the CALLER owns corpus identity: one scratch per corpus).
+    import json as _json
+
+    params = {
+        "num_perm": num_perm, "bands": bands, "shingle_k": shingle_k,
+        "bucket_parts": bucket_parts, "verify_parts": vparts,
+        "max_bucket_members": max_bucket_members,
+        "min_band_matches": min_band_matches,
+    }
     try:
-        bands_ds.map_batches(
-            _AssignBucketPart(bucket_parts), batch_format="pyarrow"
-        ).write_parquet(scratch, partition_cols=["bpart"], compression="zstd")
+        pfile = os.path.join(scratch, "params.json")
+        stale = False
+        if os.path.exists(pfile):
+            with open(pfile) as f:
+                try:
+                    stale = _json.load(f) != params
+                except _json.JSONDecodeError:
+                    stale = True
+        if stale:
+            for sub in ("bands", "pairs", "shingles"):
+                shutil.rmtree(os.path.join(scratch, sub), ignore_errors=True)
+        with open(pfile, "w") as f:
+            _json.dump(params, f)
+        bands_dir = os.path.join(scratch, "bands")
+        if not _stage_done(bands_dir):
+            _fresh_stage(bands_dir)
+            bands_ds.map_batches(
+                _AssignBucketPart(bucket_parts), batch_format="pyarrow"
+            ).write_parquet(bands_dir, partition_cols=["bpart"], compression="zstd")
+            _stage_mark(bands_dir)
         specs = [
-            {"src": d} for d in sorted(_glob.glob(os.path.join(scratch, "bpart=*")))
+            {"src": d} for d in sorted(_glob.glob(os.path.join(bands_dir, "bpart=*")))
         ]
         if not specs:
             return empty
         pair_scratch = os.path.join(scratch, "pairs")
-        (
-            ray.data.from_items(specs)
-            .map_batches(
-                partial(_emit_bucket_pairs, max_bucket_members=max_bucket_members),
-                batch_size=1,
-                batch_format="pyarrow",
+        if not _stage_done(pair_scratch):
+            _fresh_stage(pair_scratch)
+            (
+                ray.data.from_items(specs)
+                .map_batches(
+                    partial(_emit_bucket_pairs, max_bucket_members=max_bucket_members),
+                    batch_size=1,
+                    batch_format="pyarrow",
+                )
+                .map_batches(
+                    partial(_assign_pair_part, B=vparts), batch_format="pyarrow"
+                )
+                .write_parquet(pair_scratch, partition_cols=["ppart"], compression="zstd")
             )
-            .map_batches(partial(_assign_pair_part, B=vparts), batch_format="pyarrow")
-            .write_parquet(pair_scratch, partition_cols=["ppart"], compression="zstd")
-        )
+            _stage_mark(pair_scratch)
         pdirs = sorted(_glob.glob(os.path.join(pair_scratch, "ppart=*")))
         if not pdirs:
             return empty
@@ -507,16 +564,22 @@ def minhash_dedup_pairs(
         )
         if len(needs) == 0:
             return empty
-        # compact CSR routing table: doc_id -> pair partitions needing it
         needs = needs.sort_values(["doc_id", "ppart"])
-        nid = needs["doc_id"].to_numpy(np.int64)
-        need_ids, starts = np.unique(nid, return_index=True)
-        csr_off = np.concatenate((starts, [len(nid)])).astype(np.int64)
-        route_ref = ray.put((need_ids, csr_off, needs["ppart"].to_numpy(np.int64)))
         sh_scratch = os.path.join(scratch, "shingles")
-        ds.map_batches(
-            _CandidateShinglesToParts(route_ref, shingle_k), batch_format="pyarrow"
-        ).write_parquet(sh_scratch, partition_cols=["ppart"], compression="zstd")
+        if not _stage_done(sh_scratch):
+            _fresh_stage(sh_scratch)
+            # compact CSR routing table: doc_id -> pair partitions needing it
+            nid = needs["doc_id"].to_numpy(np.int64)
+            need_ids, starts = np.unique(nid, return_index=True)
+            csr_off = np.concatenate((starts, [len(nid)])).astype(np.int64)
+            route_ref = ray.put(
+                (need_ids, csr_off, needs["ppart"].to_numpy(np.int64))
+            )
+            ds.map_batches(
+                _CandidateShinglesToParts(route_ref, shingle_k),
+                batch_format="pyarrow",
+            ).write_parquet(sh_scratch, partition_cols=["ppart"], compression="zstd")
+            _stage_mark(sh_scratch)
         # only partitions with surviving (post-prefilter) pairs have shingle
         # rows; the rest have nothing to verify
         live = set(int(p) for p in needs["ppart"].unique())
@@ -702,7 +765,28 @@ def ngram_jaccard_pairs(
             "jaccard": pd.Series(dtype=float),
         }
     )
+    # stage-level resume (same contract as minhash_dedup_pairs: markers per
+    # completed storage stage, params.json guard, caller owns corpus identity)
+    import json as _json
+
+    params = {
+        "shingle_k": shingle_k, "bucket_parts": bucket_parts,
+        "max_shingle_df": max_shingle_df,
+    }
     try:
+        pfile = os.path.join(scratch, "params.json")
+        stale = False
+        if os.path.exists(pfile):
+            with open(pfile) as f:
+                try:
+                    stale = _json.load(f) != params
+                except _json.JSONDecodeError:
+                    stale = True
+        if stale:
+            for sub in ("shingles", "pairs"):
+                shutil.rmtree(os.path.join(scratch, sub), ignore_errors=True)
+        with open(pfile, "w") as f:
+            _json.dump(params, f)
 
         def assign(batch: pa.Table, B=bucket_parts) -> pa.Table:
             part = (
@@ -710,27 +794,36 @@ def ngram_jaccard_pairs(
             ).astype(np.int64)
             return batch.append_column("bpart", pa.array(part, pa.int64()))
 
-        rows.map_batches(assign, batch_format="pyarrow").write_parquet(
-            scratch, partition_cols=["bpart"], compression="zstd"
-        )
+        sh_dir = os.path.join(scratch, "shingles")
+        if not _stage_done(sh_dir):
+            _fresh_stage(sh_dir)
+            rows.map_batches(assign, batch_format="pyarrow").write_parquet(
+                sh_dir, partition_cols=["bpart"], compression="zstd"
+            )
+            _stage_mark(sh_dir)
         specs = [
-            {"src": d} for d in sorted(_glob.glob(os.path.join(scratch, "bpart=*")))
+            {"src": d} for d in sorted(_glob.glob(os.path.join(sh_dir, "bpart=*")))
         ]
         if not specs:
             return empty
         pair_scratch = os.path.join(scratch, "pairs")
-        (
-            ray.data.from_items(specs)
-            .map_batches(
-                partial(_shingle_copair_task, max_shingle_df=max_shingle_df),
-                batch_size=1,
-                batch_format="pyarrow",
+        if not _stage_done(pair_scratch):
+            _fresh_stage(pair_scratch)
+            (
+                ray.data.from_items(specs)
+                .map_batches(
+                    partial(_shingle_copair_task, max_shingle_df=max_shingle_df),
+                    batch_size=1,
+                    batch_format="pyarrow",
+                )
+                .map_batches(
+                    partial(_assign_pair_part, B=bucket_parts), batch_format="pyarrow"
+                )
+                .write_parquet(
+                    pair_scratch, partition_cols=["ppart"], compression="zstd"
+                )
             )
-            .map_batches(
-                partial(_assign_pair_part, B=bucket_parts), batch_format="pyarrow"
-            )
-            .write_parquet(pair_scratch, partition_cols=["ppart"], compression="zstd")
-        )
+            _stage_mark(pair_scratch)
         pspecs = [
             {"src": d}
             for d in sorted(_glob.glob(os.path.join(pair_scratch, "ppart=*")))
@@ -896,13 +989,19 @@ def simhash_pairs(
     owns = scratch_dir is None
     scratch = scratch_dir or tempfile.mkdtemp(prefix="simhash_bands_")
     try:
-        (
-            fp.map_batches(_simhash_band_explode, batch_format="pyarrow")
-            .map_batches(_AssignBucketPart(bucket_parts), batch_format="pyarrow")
-            .write_parquet(scratch, partition_cols=["bpart"], compression="zstd")
-        )
+        # bands depend on nothing but the corpus and bucket_parts: resume
+        # marker + a bucket_parts stamp in the dir name are sufficient
+        bands_dir = os.path.join(scratch, f"bands_b{bucket_parts}")
+        if not _stage_done(bands_dir):
+            _fresh_stage(bands_dir)
+            (
+                fp.map_batches(_simhash_band_explode, batch_format="pyarrow")
+                .map_batches(_AssignBucketPart(bucket_parts), batch_format="pyarrow")
+                .write_parquet(bands_dir, partition_cols=["bpart"], compression="zstd")
+            )
+            _stage_mark(bands_dir)
         specs = [
-            {"src": d} for d in sorted(_glob.glob(os.path.join(scratch, "bpart=*")))
+            {"src": d} for d in sorted(_glob.glob(os.path.join(bands_dir, "bpart=*")))
         ]
         if not specs:
             return empty
