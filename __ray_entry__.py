@@ -72,6 +72,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # relational / streaming-shaped demos
         "pricing_summary": rel.q_pricing_summary,
         "revenue_by_nation": rel.q_revenue_by_nation,
+        # big-big storage-shuffled hash join (functions/joins.py)
+        "join_priority_revenue": rel.q_join_priority_revenue,
         "events_window": rel.q_events_window,
         "top_users": rel.q_top_users,
         "sessionize": rel.q_sessionize,

@@ -1,0 +1,141 @@
+"""partitioned_join: the big-big storage-shuffled hash join
+(wse_ray/functions/joins.py) — how-variants vs pandas merge, key types,
+null keys, empty sides, stage resume."""
+import glob
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from wse_ray.functions.joins import partitioned_join
+
+
+def _pdf(**cols):
+    return pd.DataFrame(cols)
+
+
+def _ds(df):
+    import ray.data
+
+    return ray.data.from_pandas(df)
+
+
+L = _pdf(k=[1, 2, 2, 3, 5], lv=["a", "b", "c", "d", "e"])
+R = _pdf(k=[2, 3, 3, 4], rv=[10, 20, 30, 40])
+
+
+@pytest.mark.parametrize("how,phow", [("inner", "inner"), ("left", "left"),
+                                      ("right", "right"), ("full", "outer")])
+def test_how_variants_match_pandas(ray_session, how, phow):
+    got = (
+        partitioned_join(_ds(L), _ds(R), on="k", how=how, num_parts=4)
+        .to_pandas()
+        .sort_values(["k", "lv", "rv"], na_position="last")
+        .reset_index(drop=True)
+    )
+    want = (
+        L.merge(R, on="k", how=phow)
+        .sort_values(["k", "lv", "rv"], na_position="last")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    for col in ("k", "lv", "rv"):
+        pd.testing.assert_series_equal(
+            got[col], want[col], check_dtype=False, check_names=False
+        )
+
+
+def test_semi_and_anti(ray_session):
+    semi = partitioned_join(_ds(L), _ds(R), on="k", how="semi", num_parts=4).to_pandas()
+    assert sorted(semi["k"].tolist()) == [2, 2, 3]
+    assert list(semi.columns) == ["k", "lv"]  # no right columns
+    anti = partitioned_join(_ds(L), _ds(R), on="k", how="anti", num_parts=4).to_pandas()
+    assert sorted(anti["k"].tolist()) == [1, 5]
+
+
+def test_differing_key_names_and_suffix(ray_session):
+    r2 = R.rename(columns={"k": "rk"}).assign(lv=["p", "q", "r", "s"])
+    got = partitioned_join(
+        _ds(L), _ds(r2), on="k", right_on="rk", num_parts=4
+    ).to_pandas()
+    # collision on non-key column lv -> right side suffixed
+    assert "lv" in got.columns and "lv_r" in got.columns
+    assert sorted(got["k"].tolist()) == [2, 2, 3, 3]
+
+
+def test_string_and_multicolumn_keys(ray_session):
+    ls = _pdf(s=["x", "y", "y", "z"], g=[1, 1, 2, 1], v=[1, 2, 3, 4])
+    rs = _pdf(s=["y", "y", "z", "w"], g=[1, 2, 2, 1], w=[9, 8, 7, 6])
+    got = (
+        partitioned_join(_ds(ls), _ds(rs), on=["s", "g"], num_parts=4)
+        .to_pandas()
+        .sort_values(["s", "g"])
+        .reset_index(drop=True)
+    )
+    want = ls.merge(rs, on=["s", "g"]).sort_values(["s", "g"]).reset_index(drop=True)
+    assert got[["s", "g", "v", "w"]].values.tolist() == want[["s", "g", "v", "w"]].values.tolist()
+
+
+def test_null_keys_never_match(ray_session):
+    ln = _pdf(k=pd.array([1, None, 2], dtype="Int64"), v=[1, 2, 3])
+    rn = _pdf(k=pd.array([None, 2], dtype="Int64"), w=[8, 9])
+    got = partitioned_join(_ds(ln), _ds(rn), on="k", num_parts=4).to_pandas()
+    assert got["k"].tolist() == [2]  # SQL semantics: null != null
+
+
+def test_empty_side(ray_session):
+    empty = _pdf(k=pd.Series(dtype=np.int64), rv=pd.Series(dtype=np.int64))
+    got = partitioned_join(_ds(L), _ds(empty), on="k", num_parts=4).to_pandas()
+    assert len(got) == 0
+    left = partitioned_join(_ds(L), _ds(empty), on="k", how="left", num_parts=4).to_pandas()
+    assert sorted(left["k"].tolist()) == [1, 2, 2, 3, 5]
+    assert left["rv"].isna().all()
+
+
+def test_scratch_resume_skips_completed_exchanges(ray_session, tmp_path):
+    scratch = str(tmp_path / "pj")
+    os.makedirs(scratch)
+    p1 = (
+        partitioned_join(_ds(L), _ds(R), on="k", num_parts=4, scratch_dir=scratch)
+        .to_pandas()
+        .sort_values(["k", "lv"])
+        .reset_index(drop=True)
+    )
+    files = sorted(glob.glob(scratch + "/left/jpart=*/*.parquet"))
+    assert files and os.path.exists(scratch + "/left/_SUCCESS")
+    mt = [os.path.getmtime(f) for f in files]
+    p2 = (
+        partitioned_join(_ds(L), _ds(R), on="k", num_parts=4, scratch_dir=scratch)
+        .to_pandas()
+        .sort_values(["k", "lv"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(p1, p2)
+    assert [
+        os.path.getmtime(f)
+        for f in sorted(glob.glob(scratch + "/left/jpart=*/*.parquet"))
+    ] == mt  # exchange skipped
+
+
+def test_crashed_partial_exchange_is_rebuilt(ray_session, tmp_path):
+    """A stage dir WITHOUT its _SUCCESS marker (crashed mid-write) must be
+    wiped and rewritten, not trusted."""
+    scratch = str(tmp_path / "pj")
+    os.makedirs(scratch + "/left/jpart=0", exist_ok=True)
+    with open(scratch + "/left/jpart=0/garbage.parquet", "w") as f:
+        f.write("not parquet")
+    got = (
+        partitioned_join(_ds(L), _ds(R), on="k", num_parts=4, scratch_dir=scratch)
+        .to_pandas()
+        .sort_values(["k", "lv"])
+        .reset_index(drop=True)
+    )
+    want = L.merge(R, on="k").sort_values(["k", "lv"]).reset_index(drop=True)
+    assert got["k"].tolist() == want["k"].tolist()
+    assert not os.path.exists(scratch + "/left/jpart=0/garbage.parquet")
+
+
+def test_bad_how_raises(ray_session):
+    with pytest.raises(ValueError):
+        partitioned_join(_ds(L), _ds(R), on="k", how="cross")

@@ -61,6 +61,7 @@ SQL_CHECKED = [
     "ann_topk",
     "pricing_summary",
     "revenue_by_nation",
+    "join_priority_revenue",
     "events_window",
     "top_users",
     "sessionize",

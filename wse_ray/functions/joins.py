@@ -1,0 +1,204 @@
+"""Distributed partitioned equi-join — the big-big companion to the
+broadcast joins in ``pipelines/relational.py``.
+
+A broadcast join (``q_revenue_by_nation``) is right while the build side
+fits every worker's heap; when BOTH sides are large (orders ⋈ lineitem at
+TPC-H-100TB) the only scalable shape is to co-partition the two sides by
+join key and join each partition independently.  This module implements
+that with the repo's storage-is-the-shuffle pattern (measured ~20x faster
+than Ray Data's in-memory groupby shuffle on this class of host, see
+BASELINE.md):
+
+1. each side hash-partitions on the join key via ``map_batches`` and
+   writes hive-partitioned zstd Parquet (``jpart=K/``) — an all-to-all
+   exchange whose buffering/spill is the filesystem, resumable via a
+   ``_SUCCESS`` marker per side;
+2. one task per partition reads its two slices and joins them with
+   ``pyarrow.Table.join`` (Arrow's vectorized C++ hash join) — returned as
+   a streaming ``ray.data.Dataset``, so downstream aggregation pipelines
+   without materializing the joined rows.
+
+Partitioning assumption: rows with equal keys land in the same ``jpart``
+on both sides (same mix function, same ``num_parts``).  A pathologically
+hot key concentrates its rows in one partition — pre-aggregate before the
+join where semantics allow, or salt the hot keys (split one key into
+``key×S`` variants on the probe side and replicate the build side S ways).
+
+No reference counterpart: the reference engine has no relational join
+(SURVEY.md §2.5 — its four lookups are hash/offset probes).
+"""
+from __future__ import annotations
+
+import glob as _glob
+import os
+import shutil
+import tempfile
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .dedup import _fresh_stage, _stage_done, _stage_mark
+
+_HOW_MAP = {
+    "inner": "inner",
+    "left": "left outer",
+    "right": "right outer",
+    "full": "full outer",
+    "semi": "left semi",
+    "anti": "left anti",
+}
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer: spreads patterned int keys (sequential ids,
+    strided fks) uniformly across partitions."""
+    with np.errstate(over="ignore"):
+        z = x.astype(np.uint64, copy=True)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def _key_hash(t: pa.Table, keys: list[str]) -> np.ndarray:
+    """Combined routing hash over one or more key columns.  int-family
+    columns hash via splitmix64 on their values; string/binary via the
+    buffer-level routing hash (no per-row python objects).  Routing-only:
+    collisions just co-locate keys, never mis-join (the join itself
+    compares real values)."""
+    from ..index.build import _binary_route_hash
+
+    h = np.zeros(len(t), dtype=np.uint64)
+    for k in keys:
+        col = t[k]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if pa.types.is_integer(col.type):
+            v = col.to_numpy(zero_copy_only=False)
+            # nulls: route to a fixed lane; SQL join semantics never match
+            # them anyway (pyarrow.Table.join follows SQL here)
+            v = np.where(np.isnan(v), 0, v) if v.dtype.kind == "f" else v
+            hk = _mix64(v.astype(np.int64).astype(np.uint64))
+        elif pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            hk = _binary_route_hash(col.cast(pa.large_binary()))
+        elif pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
+            hk = _binary_route_hash(col.cast(pa.large_binary()))
+        else:
+            raise TypeError(f"unsupported join-key type for {k}: {col.type}")
+        with np.errstate(over="ignore"):
+            h = h * np.uint64(0x9E3779B97F4A7C15) + hk.astype(np.uint64)
+    return h
+
+
+class _AssignJoinPart:
+    def __init__(self, keys: list[str], num_parts: int):
+        self.keys = keys
+        self.num_parts = num_parts
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        part = (_key_hash(t, self.keys) % np.uint64(self.num_parts)).astype(np.int64)
+        return t.append_column("jpart", pa.array(part, pa.int64()))
+
+
+def _read_part(root: str, part: int, schema: pa.Schema) -> pa.Table:
+    d = os.path.join(root, f"jpart={part}")
+    if not os.path.isdir(d):
+        return schema.empty_table()
+    return pq.read_table(d, schema=schema)
+
+
+def _side_schema(root: str, ds) -> pa.Schema:
+    """Schema of a written side: from any fragment if one exists (cheap
+    metadata read), else from the Dataset's own schema (fully-empty side)."""
+    files = _glob.glob(os.path.join(root, "jpart=*", "*.parquet"))
+    if files:
+        return pq.read_schema(files[0])
+    s = ds.schema()  # ray.data.Schema: arrow types OR numpy dtypes
+    flds = []
+    for n, t in zip(s.names, s.types):
+        if n == "jpart":
+            continue
+        if not isinstance(t, pa.DataType):
+            try:
+                t = pa.from_numpy_dtype(t)
+            except (pa.ArrowNotImplementedError, TypeError):
+                t = pa.string()  # pandas object column
+        flds.append(pa.field(n, t))
+    return pa.schema(flds)
+
+
+def partitioned_join(
+    left,
+    right,
+    on: str | list[str],
+    right_on: str | list[str] | None = None,
+    how: str = "inner",
+    num_parts: int = 32,
+    scratch_dir: str | None = None,
+    right_suffix: str = "_r",
+):
+    """Join two Datasets on equality of key column(s) without broadcasting
+    either side.  Returns a streaming ``ray.data.Dataset`` of joined rows.
+
+    ``scratch_dir`` (optional) is a resume root with the same contract as
+    the dedup engines: each side's exchange carries a ``_SUCCESS`` marker
+    and is skipped when complete; the caller owns input identity.
+    """
+    import ray
+    import ray.data
+
+    if how not in _HOW_MAP:
+        raise ValueError(f"how={how!r}; expected one of {sorted(_HOW_MAP)}")
+    lkeys = [on] if isinstance(on, str) else list(on)
+    rkeys = lkeys if right_on is None else (
+        [right_on] if isinstance(right_on, str) else list(right_on)
+    )
+    if len(lkeys) != len(rkeys):
+        raise ValueError("on and right_on must name the same number of columns")
+
+    owns = scratch_dir is None
+    scratch = scratch_dir or tempfile.mkdtemp(prefix="pjoin_")
+    ldir, rdir = os.path.join(scratch, "left"), os.path.join(scratch, "right")
+    try:
+        if not _stage_done(ldir):
+            _fresh_stage(ldir)
+            left.map_batches(
+                _AssignJoinPart(lkeys, num_parts), batch_format="pyarrow"
+            ).write_parquet(ldir, partition_cols=["jpart"], compression="zstd")
+            _stage_mark(ldir)
+        if not _stage_done(rdir):
+            _fresh_stage(rdir)
+            right.map_batches(
+                _AssignJoinPart(rkeys, num_parts), batch_format="pyarrow"
+            ).write_parquet(rdir, partition_cols=["jpart"], compression="zstd")
+            _stage_mark(rdir)
+
+        lschema = _side_schema(ldir, left)
+        rschema = _side_schema(rdir, right)
+        arrow_how = _HOW_MAP[how]
+
+        def join_part(batch: pa.Table) -> pa.Table:
+            part = int(batch["part"][0].as_py())
+            lt = _read_part(ldir, part, lschema)
+            rt = _read_part(rdir, part, rschema)
+            out = lt.join(
+                rt,
+                keys=lkeys,
+                right_keys=rkeys,
+                join_type=arrow_how,
+                right_suffix=right_suffix,
+            )
+            # hive partition values parse back as int32; normalize nothing
+            # else — join output schema is constant across partitions
+            return out
+
+        joined = ray.data.from_items(
+            [{"part": i} for i in range(num_parts)]
+        ).map_batches(join_part, batch_size=1, batch_format="pyarrow")
+        if owns:
+            # caller gave no resume root: materialization boundary so the
+            # temp exchange can be deleted before returning
+            joined = joined.materialize()
+        return joined
+    finally:
+        if owns:
+            shutil.rmtree(scratch, ignore_errors=True)

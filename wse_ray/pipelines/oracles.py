@@ -399,6 +399,17 @@ JOIN nation n ON n.n_nationkey = c.c_nationkey
 GROUP BY n.n_name ORDER BY nation"""
 
 
+def sql_join_priority_revenue() -> str:
+    return """
+SELECT o.o_orderpriority,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+       count(*)::BIGINT AS n_items
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority"""
+
+
 def sql_events_window() -> str:
     return """
 SELECT event_type,
@@ -517,6 +528,7 @@ def oracle_sql_map() -> dict[str, str]:
         "ann_topk": sql_ann_topk(),
         "pricing_summary": sql_pricing_summary(),
         "revenue_by_nation": sql_revenue_by_nation(),
+        "join_priority_revenue": sql_join_priority_revenue(),
         "events_window": sql_events_window(),
         "top_users": sql_top_users(),
         "sessionize": sql_sessionize(),

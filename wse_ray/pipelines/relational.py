@@ -72,10 +72,9 @@ def q_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
     Join-strategy envelope: broadcast is right ONLY while the build side
     fits comfortably in every worker's heap (nation always does; customer
     does at bench scale but NOT at TPC-H-100TB).  When it outgrows that,
-    switch to the repo's partitioned-join shape: hash-partition BOTH sides
-    by the join key to storage (``_assign_pair_part`` pattern,
-    functions/dedup.py) and join per partition — same two-stage layout the
-    dedup engines use; no driver or broadcast state."""
+    use ``functions.joins.partitioned_join`` (the big-big storage-shuffled
+    hash join — see ``q_join_priority_revenue`` for it joining the two
+    largest tables); no driver or broadcast state there."""
     import ray
     from ray.data.aggregate import Sum
 
@@ -124,6 +123,45 @@ def q_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
     )[["nation", "revenue"]]
     out["revenue"] = out["revenue"].round(4)
     return out.sort_values("nation").reset_index(drop=True)
+
+
+def q_join_priority_revenue(sf_dir: str) -> pd.DataFrame:
+    """Revenue per order priority via a BIG-BIG join of the two largest
+    tables (lineitem ⋈ orders on orderkey) through
+    ``functions.joins.partitioned_join`` — both sides hash-partition by
+    key to storage, one Arrow hash join per partition, and the joined rows
+    stream straight into a map-side partial aggregate (never materialized
+    in full).  This is the join shape that survives when neither side is
+    broadcast-small."""
+    import tempfile
+
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.joins import partitioned_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    with tempfile.TemporaryDirectory(prefix="pjoin_rev_") as scratch:
+        joined = partitioned_join(
+            li, orders, on="l_orderkey", right_on="o_orderkey",
+            how="inner", num_parts=16, scratch_dir=scratch,
+        )
+
+        def prep(t: pa.Table) -> pa.Table:
+            rev = pc.multiply(
+                t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+            )
+            return pa.table({"o_orderpriority": t["o_orderpriority"], "rev": rev})
+
+        out = (
+            joined.map_batches(prep, batch_format="pyarrow")
+            .groupby("o_orderpriority")
+            .aggregate(Sum("rev", alias_name="revenue"), Count(alias_name="n_items"))
+            .to_pandas()
+        )
+    out["revenue"] = out["revenue"].round(4)
+    out["n_items"] = out["n_items"].astype(np.int64)
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
 
 
 def q_events_window(sf_dir: str) -> pd.DataFrame:
