@@ -139,3 +139,69 @@ def test_crashed_partial_exchange_is_rebuilt(ray_session, tmp_path):
 def test_bad_how_raises(ray_session):
     with pytest.raises(ValueError):
         partitioned_join(_ds(L), _ds(R), on="k", how="cross")
+
+
+HOT = 7  # the skewed key
+
+
+def _skewed():
+    lk = np.concatenate([np.full(400, HOT), np.arange(100)])
+    ls = _pdf(k=lk.astype(np.int64), v=np.arange(len(lk), dtype=np.int64))
+    rk = np.array([HOT, HOT, 3, 4, 5], dtype=np.int64)
+    rs = _pdf(k=rk, w=np.arange(len(rk), dtype=np.int64) * 10)
+    return ls, rs
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "semi", "anti"])
+def test_hot_key_salting_matches_unsalted(ray_session, how):
+    ls, rs = _skewed()
+    plain = (
+        partitioned_join(_ds(ls), _ds(rs), on="k", how=how, num_parts=8)
+        .to_pandas()
+    )
+    salted = (
+        partitioned_join(
+            _ds(ls), _ds(rs), on="k", how=how, num_parts=8,
+            hot_keys=[HOT], salt=4,
+        )
+        .to_pandas()
+    )
+    cols = list(plain.columns)
+    a = plain.sort_values(cols, na_position="last").reset_index(drop=True)
+    b = salted[cols].sort_values(cols, na_position="last").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_hot_key_salting_spreads_partitions(ray_session, tmp_path):
+    """The hot key's probe rows must land in `salt` distinct partitions
+    (load spread), and build hot rows must be present in each of them."""
+    import pyarrow.parquet as pq
+
+    ls, rs = _skewed()
+    scratch = str(tmp_path / "pj")
+    os.makedirs(scratch)
+    got = partitioned_join(
+        _ds(ls), _ds(rs), on="k", num_parts=8, hot_keys=[HOT], salt=4,
+        scratch_dir=scratch,
+    ).to_pandas()
+    # 401 hot probe rows (400 planted + k=7 from the arange) x 2 build
+    # rows + 3 cold matches (k in {3,4,5})
+    assert len(got) == 401 * 2 + 3
+    hot_parts = set()
+    for d in glob.glob(scratch + "/left/jpart=*"):
+        t = pq.read_table(d)
+        if (t["k"].to_numpy(zero_copy_only=False) == HOT).any():
+            hot_parts.add(os.path.basename(d))
+    assert len(hot_parts) == 4
+    for p in hot_parts:
+        rt = pq.read_table(scratch + f"/right/{p}")
+        assert (rt["k"].to_numpy(zero_copy_only=False) == HOT).sum() == 2
+
+
+def test_hot_key_salting_rejects_unsound_modes(ray_session):
+    with pytest.raises(ValueError):
+        partitioned_join(_ds(L), _ds(R), on="k", how="full", hot_keys=[2])
+    with pytest.raises(ValueError):
+        partitioned_join(
+            _ds(L), _ds(R), on=["k", "lv"], right_on=["k", "rv"], hot_keys=[2]
+        )

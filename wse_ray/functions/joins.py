@@ -99,6 +99,60 @@ class _AssignJoinPart:
         return t.append_column("jpart", pa.array(part, pa.int64()))
 
 
+class _AssignJoinPartSalted:
+    """Skew valve for a pathologically hot join key.
+
+    A hot key's rows all hash to ONE partition, so that partition's task
+    holds the whole hot cluster while its siblings idle.  Salting spreads
+    it: PROBE-side hot rows scatter round-robin over ``salt`` derived
+    partitions ``(h(k)+i) % P``; BUILD-side hot rows REPLICATE to all
+    ``salt`` of them, so every probe row still sees every matching build
+    row.  Output is assignment-invariant — only load balance changes.
+
+    Correct for inner/left/semi/anti (each PROBE row is still joined
+    exactly once against the full build set).  Unsound for right/full
+    outer: an unmatched replicated build row would surface once per
+    replica — ``partitioned_join`` rejects that combination.
+    """
+
+    def __init__(self, keys, num_parts, hot_keys, salt, role):
+        self.keys = keys
+        self.num_parts = num_parts
+        self.hot = np.asarray(sorted(hot_keys))
+        self.salt = salt
+        self.role = role  # "probe" (scatter) | "build" (replicate)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        P = np.uint64(self.num_parts)
+        h = _key_hash(t, self.keys)
+        base = (h % P).astype(np.int64)
+        col = t[self.keys[0]]
+        keys = (
+            col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        ).to_numpy(zero_copy_only=False)
+        is_hot = np.isin(keys, self.hot)
+        if self.role == "probe":
+            n_hot = int(is_hot.sum())
+            if n_hot:
+                spread = np.arange(n_hot, dtype=np.uint64) % np.uint64(self.salt)
+                base[is_hot] = ((h[is_hot] + spread) % P).astype(np.int64)
+            return t.append_column("jpart", pa.array(base, pa.int64()))
+        cold = t.filter(pa.array(~is_hot)).append_column(
+            "jpart", pa.array(base[~is_hot], pa.int64())
+        )
+        hot_t = t.filter(pa.array(is_hot))
+        if len(hot_t) == 0:
+            return cold
+        reps = [
+            hot_t.append_column(
+                "jpart",
+                pa.array(((h[is_hot] + np.uint64(i)) % P).astype(np.int64), pa.int64()),
+            )
+            for i in range(self.salt)
+        ]
+        return pa.concat_tables([cold, *reps], promote_options="none")
+
+
 def _read_part(root: str, part: int, schema: pa.Schema) -> pa.Table:
     d = os.path.join(root, f"jpart={part}")
     if not os.path.isdir(d):
@@ -135,6 +189,8 @@ def partitioned_join(
     num_parts: int = 32,
     scratch_dir: str | None = None,
     right_suffix: str = "_r",
+    hot_keys=None,
+    salt: int = 8,
 ):
     """Join two Datasets on equality of key column(s) without broadcasting
     either side.  Returns a streaming ``ray.data.Dataset`` of joined rows.
@@ -142,6 +198,13 @@ def partitioned_join(
     ``scratch_dir`` (optional) is a resume root with the same contract as
     the dedup engines: each side's exchange carries a ``_SUCCESS`` marker
     and is skipped when complete; the caller owns input identity.
+
+    ``hot_keys`` (optional, single-column keys, how in inner/left/semi/
+    anti): known pathologically-hot key values to salt over ``salt``
+    partitions — probe rows scatter, build rows replicate (see
+    ``_AssignJoinPartSalted``).  Detect candidates with a cheap
+    pre-aggregation (per-batch value_counts -> small groupby) when the
+    skew profile isn't known a priori.
     """
     import ray
     import ray.data
@@ -154,6 +217,19 @@ def partitioned_join(
     )
     if len(lkeys) != len(rkeys):
         raise ValueError("on and right_on must name the same number of columns")
+    if hot_keys is not None:
+        if len(lkeys) != 1:
+            raise ValueError("hot_keys salting supports single-column keys only")
+        if how in ("right", "full"):
+            raise ValueError(
+                "hot_keys salting replicates build rows; right/full outer "
+                "would emit unmatched build rows once per replica"
+            )
+        l_assign = _AssignJoinPartSalted(lkeys, num_parts, hot_keys, salt, "probe")
+        r_assign = _AssignJoinPartSalted(rkeys, num_parts, hot_keys, salt, "build")
+    else:
+        l_assign = _AssignJoinPart(lkeys, num_parts)
+        r_assign = _AssignJoinPart(rkeys, num_parts)
 
     owns = scratch_dir is None
     scratch = scratch_dir or tempfile.mkdtemp(prefix="pjoin_")
@@ -162,13 +238,13 @@ def partitioned_join(
         if not _stage_done(ldir):
             _fresh_stage(ldir)
             left.map_batches(
-                _AssignJoinPart(lkeys, num_parts), batch_format="pyarrow"
+                l_assign, batch_format="pyarrow"
             ).write_parquet(ldir, partition_cols=["jpart"], compression="zstd")
             _stage_mark(ldir)
         if not _stage_done(rdir):
             _fresh_stage(rdir)
             right.map_batches(
-                _AssignJoinPart(rkeys, num_parts), batch_format="pyarrow"
+                r_assign, batch_format="pyarrow"
             ).write_parquet(rdir, partition_cols=["jpart"], compression="zstd")
             _stage_mark(rdir)
 
