@@ -74,6 +74,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": rel.q_revenue_by_nation,
         # big-big storage-shuffled hash join (functions/joins.py)
         "join_priority_revenue": rel.q_join_priority_revenue,
+        # as-of join (custom operator; DuckDB ASOF LEFT JOIN oracle)
+        "events_asof_purchase": rel.q_events_asof_purchase,
         "events_window": rel.q_events_window,
         "top_users": rel.q_top_users,
         "sessionize": rel.q_sessionize,

@@ -8,7 +8,7 @@ import numpy as np
 import pandas as pd
 import pytest
 
-from wse_ray.functions.joins import partitioned_join
+from wse_ray.functions.joins import asof_join, partitioned_join
 
 
 def _pdf(**cols):
@@ -196,6 +196,78 @@ def test_hot_key_salting_spreads_partitions(ray_session, tmp_path):
     for p in hot_parts:
         rt = pq.read_table(scratch + f"/right/{p}")
         assert (rt["k"].to_numpy(zero_copy_only=False) == HOT).sum() == 2
+
+
+AL = _pdf(
+    k=[1, 1, 1, 2, 3],
+    t=pd.to_datetime([10, 20, 30, 15, 5], unit="s"),
+    lv=np.arange(5, dtype=np.int64),
+)
+AR = _pdf(
+    k=[1, 1, 2],
+    t=pd.to_datetime([12, 25, 40], unit="s"),
+    rv=np.array([100, 200, 300], dtype=np.int64),
+)
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_matches_pandas_merge_asof(ray_session, direction):
+    got = (
+        asof_join(_ds(AL), _ds(AR), by="k", on="t", direction=direction, num_parts=4)
+        .to_pandas()
+        .sort_values("lv")
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        AL.sort_values("t"), AR.sort_values("t"), on="t", by="k",
+        direction=direction,
+    ).sort_values("lv").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[list(want.columns)], want, check_dtype=False)
+
+
+def test_asof_schema_stable_with_all_miss_partitions(ray_session):
+    """A partition whose keys have no right rows must not emit float64
+    where matched partitions emit int64 (block schema agreement)."""
+    left = _pdf(
+        k=np.arange(20, dtype=np.int64),
+        t=pd.to_datetime(np.arange(20), unit="s"),
+        lv=np.arange(20, dtype=np.int64),
+    )
+    right = _pdf(  # only key 0 has history
+        k=np.zeros(1, dtype=np.int64),
+        t=pd.to_datetime([0], unit="s"),
+        rv=np.array([7], dtype=np.int64),
+    )
+    got = asof_join(_ds(left), _ds(right), by="k", on="t", num_parts=8).to_pandas()
+    assert len(got) == 20
+    assert int(got.loc[got["k"] == 0, "rv"].iloc[0]) == 7
+    assert got.loc[got["k"] != 0, "rv"].isna().all()
+
+
+def test_asof_differing_names_and_exact_match_inclusive(ray_session):
+    r2 = AR.rename(columns={"k": "rk", "t": "rt"})
+    got = (
+        asof_join(
+            _ds(AL), _ds(r2), by="k", on="t", right_by="rk", right_on="rt",
+            num_parts=4,
+        )
+        .to_pandas()
+        .sort_values("lv")
+        .reset_index(drop=True)
+    )
+    # left t=12? no — left k=1 t=20 matches right t=12 (backward), and an
+    # exact-equal timestamp is inclusive
+    assert int(got.loc[got["lv"] == 1, "rv"].iloc[0]) == 100
+    exact = asof_join(
+        _ds(_pdf(k=[1], t=pd.to_datetime([12], unit="s"), lv=[0])),
+        _ds(AR), by="k", on="t", num_parts=2,
+    ).to_pandas()
+    assert int(exact["rv"].iloc[0]) == 100
+
+
+def test_asof_bad_direction_raises(ray_session):
+    with pytest.raises(ValueError):
+        asof_join(_ds(AL), _ds(AR), by="k", on="t", direction="nearest")
 
 
 def test_hot_key_salting_rejects_unsound_modes(ray_session):

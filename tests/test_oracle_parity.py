@@ -62,6 +62,7 @@ SQL_CHECKED = [
     "pricing_summary",
     "revenue_by_nation",
     "join_priority_revenue",
+    "events_asof_purchase",
     "events_window",
     "top_users",
     "sessionize",

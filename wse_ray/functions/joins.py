@@ -278,3 +278,109 @@ def partitioned_join(
     finally:
         if owns:
             shutil.rmtree(scratch, ignore_errors=True)
+
+
+def asof_join(
+    left,
+    right,
+    by: str,
+    on: str,
+    right_by: str | None = None,
+    right_on: str | None = None,
+    direction: str = "backward",
+    num_parts: int = 32,
+    scratch_dir: str | None = None,
+    right_suffix: str = "_r",
+):
+    """As-of join: for each left row, the temporally nearest right row of
+    the same ``by`` key (``backward`` = latest right ``on`` <= left ``on``;
+    ``forward`` = earliest >=; left rows without a match keep nulls — LEFT
+    semantics, like DuckDB's ``ASOF LEFT JOIN``).
+
+    Scale shape: both sides hash-partition by the ``by`` key through the
+    same storage exchange as ``partitioned_join`` (all rows of one key
+    land in one partition — the partitioning assumption), then one task
+    per partition runs a vectorized ``pandas.merge_asof`` over its
+    time-sorted slice.  Partition count bounds the per-task sort; a key
+    whose history alone overflows a worker needs time-range
+    sub-partitioning with boundary replication (not implemented — raise
+    ``num_parts`` first, the per-key history is usually the small side).
+
+    Tie semantics: equal right timestamps within one key resolve to the
+    LAST row in (``on``, input-order) sort — pandas ``merge_asof``
+    behavior; engines differ here, so keep right-side timestamps unique
+    per key when exact parity with another system matters.
+    """
+    import pandas as pd
+    import ray
+    import ray.data
+
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction={direction!r}")
+    rby = right_by or by
+    ron = right_on or on
+
+    owns = scratch_dir is None
+    scratch = scratch_dir or tempfile.mkdtemp(prefix="asof_")
+    ldir, rdir = os.path.join(scratch, "left"), os.path.join(scratch, "right")
+    try:
+        if not _stage_done(ldir):
+            _fresh_stage(ldir)
+            left.map_batches(
+                _AssignJoinPart([by], num_parts), batch_format="pyarrow"
+            ).write_parquet(ldir, partition_cols=["jpart"], compression="zstd")
+            _stage_mark(ldir)
+        if not _stage_done(rdir):
+            _fresh_stage(rdir)
+            right.map_batches(
+                _AssignJoinPart([rby], num_parts), batch_format="pyarrow"
+            ).write_parquet(rdir, partition_cols=["jpart"], compression="zstd")
+            _stage_mark(rdir)
+
+        lschema = _side_schema(ldir, left)
+        rschema = _side_schema(rdir, right)
+
+        lfields = {f.name: f.type for f in lschema}
+        rfields = {}
+        for f in rschema:
+            name = by if f.name == rby else (on if f.name == ron else f.name)
+            rfields[name] = f.type
+
+        def asof_part(batch: pa.Table) -> pa.Table:
+            part = int(batch["part"][0].as_py())
+            lt = _read_part(ldir, part, lschema).to_pandas()
+            rt = _read_part(rdir, part, rschema).to_pandas()
+            if rby != by:
+                rt = rt.rename(columns={rby: by})
+            if ron != on:
+                rt = rt.rename(columns={ron: on})
+            out = pd.merge_asof(
+                lt.sort_values(on, kind="stable"),
+                rt.sort_values(on, kind="stable"),
+                on=on,
+                by=by,
+                direction=direction,
+                suffixes=("", right_suffix),
+            )
+            # an all-miss partition upgrades right int columns to float64
+            # (NaN); pin every partition to ONE output schema so the
+            # resulting Dataset's blocks agree
+            arrays, fields = [], []
+            for c in out.columns:
+                t = lfields.get(c) or rfields.get(c)
+                if t is None and c.endswith(right_suffix):
+                    t = rfields.get(c[: -len(right_suffix)])
+                arr = pa.Array.from_pandas(out[c], type=t)
+                arrays.append(arr)
+                fields.append(pa.field(c, arr.type))
+            return pa.Table.from_arrays(arrays, schema=pa.schema(fields))
+
+        joined = ray.data.from_items(
+            [{"part": i} for i in range(num_parts)]
+        ).map_batches(asof_part, batch_size=1, batch_format="pyarrow")
+        if owns:
+            joined = joined.materialize()
+        return joined
+    finally:
+        if owns:
+            shutil.rmtree(scratch, ignore_errors=True)

@@ -410,6 +410,18 @@ GROUP BY o.o_orderpriority
 ORDER BY o.o_orderpriority"""
 
 
+def sql_events_asof_purchase() -> str:
+    return """
+SELECT l.event_id, l.user_id, l.ts,
+       r.ts AS last_purchase_ts,
+       round(r.value, 4) AS last_purchase_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN
+     (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l.event_id"""
+
+
 def sql_events_window() -> str:
     return """
 SELECT event_type,
@@ -529,6 +541,7 @@ def oracle_sql_map() -> dict[str, str]:
         "pricing_summary": sql_pricing_summary(),
         "revenue_by_nation": sql_revenue_by_nation(),
         "join_priority_revenue": sql_join_priority_revenue(),
+        "events_asof_purchase": sql_events_asof_purchase(),
         "events_window": sql_events_window(),
         "top_users": sql_top_users(),
         "sessionize": sql_sessionize(),

@@ -164,6 +164,45 @@ def q_join_priority_revenue(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("o_orderpriority").reset_index(drop=True)
 
 
+def q_events_asof_purchase(sf_dir: str) -> pd.DataFrame:
+    """As-of join: each click event picks up the same user's most recent
+    prior-or-simultaneous purchase (ts and value), via
+    ``functions.joins.asof_join`` — both sides hash-partition by user to
+    storage, one vectorized ``merge_asof`` per partition.  Clicks by users
+    with no earlier purchase keep nulls (ASOF LEFT semantics)."""
+    import tempfile
+
+    from ..functions.joins import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
+
+    def clicks(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "click"))
+        return t.select(["event_id", "user_id", "ts"])
+
+    def purchases(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "purchase"))
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "last_purchase_ts": t["ts"],
+                "last_purchase_value": t["value"],
+            }
+        )
+
+    left = ev.map_batches(clicks, batch_format="pyarrow")
+    right = ev.map_batches(purchases, batch_format="pyarrow")
+    with tempfile.TemporaryDirectory(prefix="asof_ev_") as scratch:
+        out = asof_join(
+            left, right, by="user_id", on="ts", num_parts=16,
+            scratch_dir=scratch,
+        ).to_pandas()
+    out["last_purchase_value"] = out["last_purchase_value"].round(4)
+    out = out[["event_id", "user_id", "ts", "last_purchase_ts", "last_purchase_value"]]
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def q_events_window(sf_dir: str) -> pd.DataFrame:
     """Tumbling 1-hour window per event_type (streaming-shaped workload as a
     batch groupby over floor(ts/1h))."""
