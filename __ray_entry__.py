@@ -76,6 +76,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_priority_revenue": rel.q_join_priority_revenue,
         # as-of join (custom operator; DuckDB ASOF LEFT JOIN oracle)
         "events_asof_purchase": rel.q_events_asof_purchase,
+        # sliding-window aggregate (explode -> grouped aggregate)
+        "events_sliding_window": rel.q_events_sliding_window,
         "events_window": rel.q_events_window,
         "top_users": rel.q_top_users,
         "sessionize": rel.q_sessionize,

@@ -63,6 +63,7 @@ SQL_CHECKED = [
     "revenue_by_nation",
     "join_priority_revenue",
     "events_asof_purchase",
+    "events_sliding_window",
     "events_window",
     "top_users",
     "sessionize",

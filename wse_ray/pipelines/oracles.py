@@ -410,6 +410,21 @@ GROUP BY o.o_orderpriority
 ORDER BY o.o_orderpriority"""
 
 
+def sql_events_sliding_window() -> str:
+    # 1h windows hopping 15min: event at t belongs to window starts
+    # (floor(t/900s) - k) * 900s for k in 0..3 (every one covers t since
+    # hop divides size); the cross join enumerates k
+    return """
+SELECT event_type,
+       to_timestamp(((epoch_us(ts) // 900000000) - k.k) * 900)::TIMESTAMP
+           AS window_start,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events CROSS JOIN (SELECT unnest(range(4)) AS k) k
+GROUP BY event_type, window_start
+ORDER BY event_type, window_start"""
+
+
 def sql_events_asof_purchase() -> str:
     return """
 SELECT l.event_id, l.user_id, l.ts,
@@ -542,6 +557,7 @@ def oracle_sql_map() -> dict[str, str]:
         "revenue_by_nation": sql_revenue_by_nation(),
         "join_priority_revenue": sql_join_priority_revenue(),
         "events_asof_purchase": sql_events_asof_purchase(),
+        "events_sliding_window": sql_events_sliding_window(),
         "events_window": sql_events_window(),
         "top_users": sql_top_users(),
         "sessionize": sql_sessionize(),

@@ -232,6 +232,36 @@ def q_events_window(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["event_type", "window_start"]).reset_index(drop=True)
 
 
+def q_events_sliding_window(sf_dir: str) -> pd.DataFrame:
+    """Sliding-window aggregate: 1-hour windows hopping every 15 minutes
+    (each event counted in 4 overlapping windows), via
+    ``functions.windows.sliding_window_explode`` — a vectorized take-gather
+    explode feeding an ordinary grouped aggregate."""
+    from functools import partial as _partial
+
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.windows import sliding_window_explode
+
+    SIZE_US, HOP_US = 3_600_000_000, 900_000_000
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    out = (
+        ds.map_batches(
+            _partial(
+                sliding_window_explode, ts_col="ts",
+                size_us=SIZE_US, hop_us=HOP_US,
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    out["sum_value"] = out["sum_value"].round(4)
+    out["n_events"] = out["n_events"].astype(np.int64)
+    return out.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+
+
 def q_top_users(sf_dir: str) -> pd.DataFrame:
     """Grouped top-k: 10 highest total-value users (rank on rounded sums)."""
     from ray.data.aggregate import Count, Sum
