@@ -78,6 +78,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_purchase": rel.q_events_asof_purchase,
         # sliding-window aggregate (explode -> grouped aggregate)
         "events_sliding_window": rel.q_events_sliding_window,
+        # range/interval join ((key, time-bucket) equi-join + exact filter)
+        "click_error_pairs": rel.q_click_error_pairs,
         "events_window": rel.q_events_window,
         "top_users": rel.q_top_users,
         "sessionize": rel.q_sessionize,

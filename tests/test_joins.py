@@ -8,7 +8,7 @@ import numpy as np
 import pandas as pd
 import pytest
 
-from wse_ray.functions.joins import asof_join, partitioned_join
+from wse_ray.functions.joins import asof_join, partitioned_join, range_join
 
 
 def _pdf(**cols):
@@ -263,6 +263,57 @@ def test_asof_differing_names_and_exact_match_inclusive(ray_session):
         _ds(AR), by="k", on="t", num_parts=2,
     ).to_pandas()
     assert int(exact["rv"].iloc[0]) == 100
+
+
+def _range_brute(ldf, rdf, lo, hi):
+    m = ldf.merge(rdf, on="k", suffixes=("", "_r"))
+    m = m[
+        (m["t_r"] >= m["t"] + pd.Timedelta(microseconds=lo))
+        & (m["t_r"] <= m["t"] + pd.Timedelta(microseconds=hi))
+    ]
+    return set(zip(m["lv"], m["rv"]))
+
+
+@pytest.mark.parametrize("lo,hi", [(0, 300_000_000), (-120_000_000, 180_000_000)])
+def test_range_join_matches_bruteforce(ray_session, lo, hi):
+    rng = np.random.default_rng(11)
+    ldf = _pdf(
+        k=rng.integers(0, 5, 60),
+        t=pd.to_datetime(rng.integers(0, 3000, 60), unit="s"),
+        lv=np.arange(60, dtype=np.int64),
+    )
+    rdf = _pdf(
+        k=rng.integers(0, 5, 50),
+        t=pd.to_datetime(rng.integers(0, 3000, 50), unit="s"),
+        rv=np.arange(50, dtype=np.int64),
+    )
+    got = range_join(
+        _ds(ldf), _ds(rdf), by="k", on="t", lower_us=lo, upper_us=hi, num_parts=4
+    ).to_pandas()
+    assert set(zip(got["lv"], got["rv"])) == _range_brute(ldf, rdf, lo, hi)
+
+
+def test_range_join_boundary_inclusive_and_no_dup_pairs(ray_session):
+    # exact endpoints are in; a pair never surfaces twice even when the
+    # left row straddles two candidate buckets
+    ldf = _pdf(k=[1, 1], t=pd.to_datetime([100, 250], unit="s"), lv=np.array([0, 1], np.int64))
+    rdf = _pdf(
+        k=[1, 1, 1],
+        t=pd.to_datetime([100, 400, 550], unit="s"),  # 550 = left1 + exactly 300s
+        rv=np.array([0, 1, 2], np.int64),
+    )
+    got = range_join(
+        _ds(ldf), _ds(rdf), by="k", on="t", lower_us=0, upper_us=300_000_000,
+        num_parts=4,
+    ).to_pandas()
+    pairs = list(zip(got["lv"], got["rv"]))
+    assert len(pairs) == len(set(pairs))
+    assert set(pairs) == {(0, 0), (0, 1), (1, 1), (1, 2)}
+
+
+def test_range_join_bad_bounds_raise(ray_session):
+    with pytest.raises(ValueError):
+        range_join(_ds(L), _ds(R), by="k", on="t", lower_us=5, upper_us=5)
 
 
 def test_asof_bad_direction_raises(ray_session):

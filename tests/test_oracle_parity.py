@@ -64,6 +64,7 @@ SQL_CHECKED = [
     "join_priority_revenue",
     "events_asof_purchase",
     "events_sliding_window",
+    "click_error_pairs",
     "events_window",
     "top_users",
     "sessionize",

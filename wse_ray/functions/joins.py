@@ -280,6 +280,92 @@ def partitioned_join(
             shutil.rmtree(scratch, ignore_errors=True)
 
 
+def range_join(
+    left,
+    right,
+    by: str,
+    on: str,
+    lower_us: int,
+    upper_us: int,
+    right_by: str | None = None,
+    right_on: str | None = None,
+    num_parts: int = 32,
+    scratch_dir: str | None = None,
+    right_suffix: str = "_r",
+):
+    """Interval join: emit every (left, right) pair of the same ``by`` key
+    with ``right.on`` in the closed interval
+    ``[left.on + lower_us, left.on + upper_us]`` (timestamps compared at
+    microsecond precision; inner semantics — unmatched rows drop).
+
+    Scale shape — composed from the partitioned-join exchange, NOT a
+    per-key cross product: with bucket width W = upper_us - lower_us,
+    every right row gets ONE time bucket ``floor(t/W)`` and every left
+    row lands in AT MOST TWO candidate buckets (the floor of each
+    interval endpoint), so an equi-join on ``(key, bucket)`` is a
+    superset of the true pairs with bounded blowup (rows per (key,
+    bucket), not rows per key) — the exact interval filter then runs
+    vectorized on the joined batches.  A (left,right) pair can match in
+    only one bucket (the right row has one), so no dedup pass is needed.
+    """
+    import pyarrow.compute as pc
+    import ray.data  # noqa: F401  (partitioned_join inits lazily)
+
+    if upper_us <= lower_us:
+        raise ValueError("upper_us must be > lower_us")
+    W = upper_us - lower_us
+    rby = right_by or by
+    ron = right_on or on
+    BKT = "__range_bucket"
+
+    def _ts_us(t: pa.Table, col: str) -> np.ndarray:
+        c = t[col]
+        c = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+        return (
+            c.cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+
+    def explode_left(t: pa.Table) -> pa.Table:
+        ts = _ts_us(t, on)
+        b1 = (ts + lower_us) // W
+        b2 = (ts + upper_us) // W
+        n = len(t)
+        idx = np.repeat(np.arange(n, dtype=np.int64), 2)
+        bkt = np.stack([b1, b2], axis=1).reshape(-1)
+        keep = np.ones(2 * n, dtype=bool)
+        keep[1::2] = b2 != b1  # second candidate only when distinct
+        out = t.take(pa.array(idx[keep]))
+        return out.append_column(BKT, pa.array(bkt[keep], pa.int64()))
+
+    def bucket_right(t: pa.Table) -> pa.Table:
+        ts = _ts_us(t, ron)
+        return t.append_column(BKT, pa.array(ts // W, pa.int64()))
+
+    j = partitioned_join(
+        left.map_batches(explode_left, batch_format="pyarrow"),
+        right.map_batches(bucket_right, batch_format="pyarrow"),
+        on=[by, BKT],
+        right_on=[rby, BKT],
+        how="inner",
+        num_parts=num_parts,
+        scratch_dir=scratch_dir,
+        right_suffix=right_suffix,
+    )
+    l_on, r_on = on, (ron if ron != on else on + right_suffix)
+
+    def exact_filter(t: pa.Table) -> pa.Table:
+        lt = _ts_us(t, l_on)
+        rt = _ts_us(t, r_on)
+        mask = (rt >= lt + lower_us) & (rt <= lt + upper_us)
+        out = t.filter(pa.array(mask))
+        return out.drop_columns([BKT])
+
+    return j.map_batches(exact_filter, batch_format="pyarrow")
+
+
 def asof_join(
     left,
     right,

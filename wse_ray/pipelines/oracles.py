@@ -410,6 +410,17 @@ GROUP BY o.o_orderpriority
 ORDER BY o.o_orderpriority"""
 
 
+def sql_click_error_pairs() -> str:
+    return """
+SELECT l.event_id AS click_id, l.user_id, r.event_id AS error_id
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') r
+  ON r.user_id = l.user_id
+ AND r.ts >= l.ts
+ AND r.ts <= l.ts + INTERVAL 5 MINUTE
+ORDER BY click_id, error_id"""
+
+
 def sql_events_sliding_window() -> str:
     # 1h windows hopping 15min: event at t belongs to window starts
     # (floor(t/900s) - k) * 900s for k in 0..3 (every one covers t since
@@ -558,6 +569,7 @@ def oracle_sql_map() -> dict[str, str]:
         "join_priority_revenue": sql_join_priority_revenue(),
         "events_asof_purchase": sql_events_asof_purchase(),
         "events_sliding_window": sql_events_sliding_window(),
+        "click_error_pairs": sql_click_error_pairs(),
         "events_window": sql_events_window(),
         "top_users": sql_top_users(),
         "sessionize": sql_sessionize(),

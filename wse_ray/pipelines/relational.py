@@ -232,6 +232,37 @@ def q_events_window(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["event_type", "window_start"]).reset_index(drop=True)
 
 
+def q_click_error_pairs(sf_dir: str) -> pd.DataFrame:
+    """Range (interval) join: every (click, error) pair of the same user
+    with the error inside [click_ts, click_ts + 5 min], via
+    ``functions.joins.range_join`` — (key, time-bucket) co-partitioned
+    equi-join superset + exact vectorized interval filter, never a
+    per-key cross product."""
+    import tempfile
+
+    from ..functions.joins import range_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def typed(t: pa.Table, kind: str) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], kind))
+        return t.select(["event_id", "user_id", "ts"])
+
+    clicks = ev.map_batches(lambda t: typed(t, "click"), batch_format="pyarrow")
+    errors = ev.map_batches(lambda t: typed(t, "error"), batch_format="pyarrow")
+    with tempfile.TemporaryDirectory(prefix="rjoin_ev_") as scratch:
+        out = range_join(
+            clicks, errors, by="user_id", on="ts",
+            lower_us=0, upper_us=300_000_000, num_parts=16,
+            scratch_dir=scratch,
+        ).to_pandas()
+    out = out.rename(columns={"event_id": "click_id", "event_id_r": "error_id"})
+    out = out[["click_id", "user_id", "error_id"]].astype(
+        {"click_id": np.int64, "user_id": np.int64, "error_id": np.int64}
+    )
+    return out.sort_values(["click_id", "error_id"]).reset_index(drop=True)
+
+
 def q_events_sliding_window(sf_dir: str) -> pd.DataFrame:
     """Sliding-window aggregate: 1-hour windows hopping every 15 minutes
     (each event counted in 4 overlapping windows), via
