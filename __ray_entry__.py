@@ -80,6 +80,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_window": rel.q_events_sliding_window,
         # range/interval join ((key, time-bucket) equi-join + exact filter)
         "click_error_pairs": rel.q_click_error_pairs,
+        # event-level window function (per-key sort + gap cumsum)
+        "session_assignments": rel.q_session_assignments,
+        # distributed quantiles via bounded-state histogram sketch
+        "price_quantiles": rel.q_price_quantiles,
         "events_window": rel.q_events_window,
         "top_users": rel.q_top_users,
         "sessionize": rel.q_sessionize,

@@ -403,3 +403,31 @@ def test_minhash_giant_cluster_star_pairs(ray_session):
     clusters = dedup_clusters(pairs)
     dup_reps = clusters[clusters["doc_id"] < 100]["rep_id"]
     assert (dup_reps == 0).all() and len(dup_reps) == 50
+
+
+def test_histogram_quantiles_matches_sorted_rule(ray_session):
+    """The sketch must reproduce quantile_disc (sorted value at
+    ceil(q*n)-1) exactly, including duplicate-heavy and 1-row keys."""
+    import math
+
+    import pandas as pd
+    import ray.data
+    from wse_ray.functions.sketches import histogram_quantiles
+
+    rng = np.random.default_rng(7)
+    vals = np.round(rng.uniform(0, 100, size=2000), 2)
+    vals[:500] = 42.0  # heavy tie mass
+    keys = np.where(np.arange(2000) % 3 == 0, "a", "b")
+    df = pd.DataFrame({"k": keys, "v": vals})
+    df = pd.concat(
+        [df, pd.DataFrame({"k": ["solo"], "v": [3.14]})], ignore_index=True
+    )
+    ds = ray.data.from_pandas(df).repartition(6)
+    qs = [0.01, 0.25, 0.5, 0.9, 1.0]
+    got = histogram_quantiles(ds, "v", "k", qs=qs, decimals=2)
+    for key, g in df.groupby("k"):
+        s = np.sort(np.floor(g["v"].to_numpy() * 100) / 100)
+        for q in qs:
+            want = s[max(1, math.ceil(q * len(s))) - 1]
+            have = got[(got["k"] == key) & (got["q"] == q)]["quantile"].iloc[0]
+            assert have == want, (key, q, have, want)

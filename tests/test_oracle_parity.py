@@ -65,6 +65,8 @@ SQL_CHECKED = [
     "events_asof_purchase",
     "events_sliding_window",
     "click_error_pairs",
+    "session_assignments",
+    "price_quantiles",
     "events_window",
     "top_users",
     "sessionize",

@@ -410,6 +410,33 @@ GROUP BY o.o_orderpriority
 ORDER BY o.o_orderpriority"""
 
 
+def sql_session_assignments() -> str:
+    return """
+SELECT event_id, user_id,
+       sum(CASE WHEN gap THEN 1 ELSE 0 END) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING)::BIGINT AS session_idx
+FROM (
+    SELECT event_id, user_id, ts,
+           ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               > INTERVAL 30 MINUTE AS gap
+    FROM events
+)
+ORDER BY event_id"""
+
+
+def sql_price_quantiles() -> str:
+    # quantile_disc needs a constant q in DuckDB -> UNION ALL per q.
+    # floor(x*100)/100 matches the sketch's cent discretization exactly
+    # (floor after IEEE multiply is bit-identical across engines).
+    per_q = """
+SELECT l_returnflag, CAST({q} AS DOUBLE) AS q,
+       quantile_disc(floor(l_extendedprice * 100) / 100, {q}) AS price_q
+FROM lineitem GROUP BY l_returnflag"""
+    body = "\nUNION ALL".join(per_q.format(q=q) for q in (0.25, 0.5, 0.75, 0.95))
+    return body + "\nORDER BY l_returnflag, q"
+
+
 def sql_click_error_pairs() -> str:
     return """
 SELECT l.event_id AS click_id, l.user_id, r.event_id AS error_id
@@ -570,6 +597,8 @@ def oracle_sql_map() -> dict[str, str]:
         "events_asof_purchase": sql_events_asof_purchase(),
         "events_sliding_window": sql_events_sliding_window(),
         "click_error_pairs": sql_click_error_pairs(),
+        "session_assignments": sql_session_assignments(),
+        "price_quantiles": sql_price_quantiles(),
         "events_window": sql_events_window(),
         "top_users": sql_top_users(),
         "sessionize": sql_sessionize(),

@@ -333,6 +333,31 @@ def q_sessionize(sf_dir: str) -> pd.DataFrame:
     ).sort_values("user_id").reset_index(drop=True)
 
 
+def q_session_assignments(sf_dir: str) -> pd.DataFrame:
+    """Event-level sessionization: each event gets its user's session
+    ordinal (0-based; a new session opens after >30 min inactivity).  The
+    distributed window-function pattern: partition by user (Ray groupby),
+    per-group vectorized sort + gap cumsum — per-row output, unlike
+    ``q_sessionize``'s per-user rollup."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gaps = (g["ts"].diff() > pd.Timedelta(minutes=30)).cumsum()
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(np.int64),
+                "user_id": g["user_id"].to_numpy(np.int64),
+                "session_idx": gaps.to_numpy(np.int64),
+            }
+        )
+
+    out = ds.groupby("user_id").map_groups(assign, batch_format="pandas").to_pandas()
+    return out.astype(
+        {"event_id": np.int64, "user_id": np.int64, "session_idx": np.int64}
+    ).sort_values("event_id").reset_index(drop=True)
+
+
 _DISTINCT_BUCKETS = 32
 
 
@@ -380,6 +405,25 @@ def q_distinct_users_daily(sf_dir: str) -> pd.DataFrame:
     out = partials.groupby("day", as_index=False).agg(n_users=("n_users_p", "sum"))
     out["n_users"] = out["n_users"].astype(np.int64)
     return out.sort_values("day").reset_index(drop=True)
+
+
+def q_price_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Distributed per-key quantiles without a global sort: fixed-precision
+    histogram sketch (``wse_ray.functions.sketches.histogram_quantiles``).
+    The shuffle carries only (key, price-bin) partial counts — bounded by
+    value cardinality, not row count — and the quantile is read off the
+    cumulative histogram.  Exact ``quantile_disc`` over cent-discretized
+    prices."""
+    from wse_ray.functions.sketches import histogram_quantiles
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+    out = histogram_quantiles(
+        ds, "l_extendedprice", "l_returnflag", qs=[0.25, 0.5, 0.75, 0.95], decimals=2
+    )
+    out = out.rename(columns={"quantile": "price_q"})
+    out["q"] = out["q"].astype(np.float64)
+    out["price_q"] = out["price_q"].astype(np.float64)
+    return out.sort_values(["l_returnflag", "q"]).reset_index(drop=True)
 
 
 def q_customers_without_orders(sf_dir: str) -> pd.DataFrame:
