@@ -52,6 +52,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_md5": eq.q_fingerprint_md5,
         # dedup / similarity
         "dedup_exact": eq.q_dedup_exact,
+        # near-exact dedup over case/whitespace-normalized text
+        "dedup_normalized": eq.q_dedup_normalized,
+        # deterministic content-hash sampling (stateless, resume-stable)
+        "sample_docs": eq.q_sample_docs,
+        # per-domain quota cap (map-side top-k combiner)
+        "docs_per_source_cap": eq.q_docs_per_source_cap,
         # exact-Jaccard SQL oracle; NOTE gate equality is sf-dependent: at
         # threshold 0.5 the 16x4 LSH candidate filter has ~0.64 recall for
         # borderline j~0.5 pairs, but the testdata's dups sit at j>=0.9

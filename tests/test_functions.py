@@ -431,3 +431,68 @@ def test_histogram_quantiles_matches_sorted_rule(ray_session):
             want = s[max(1, math.ceil(q * len(s))) - 1]
             have = got[(got["k"] == key) & (got["q"] == q)]["quantile"].iloc[0]
             assert have == want, (key, q, have, want)
+
+
+def test_normalize_text_matches_duckdb_expression():
+    """Messy inputs (tabs, CRLF, runs, unicode case) must normalize exactly
+    like the oracle's lower+regexp_replace+trim expression."""
+    import duckdb
+    import pyarrow as pa
+    from wse_ray.functions.dedup import normalize_text_batch
+
+    messy = [
+        "  Hello\t\tWORLD  \n",
+        "a  b\r\nc",
+        "Über  CafÉ",
+        "already clean",
+        "",
+        "   ",
+        "MiXeD\tCase  RUN",
+    ]
+    t = pa.table({"doc_id": list(range(len(messy))), "text": messy})
+    got = normalize_text_batch(t)["text"].to_pylist()
+    con = duckdb.connect()
+    want = [
+        con.sql(
+            r"SELECT trim(regexp_replace(lower(?), '\s+', ' ', 'g'))", params=[m]
+        ).fetchone()[0]
+        for m in messy
+    ]
+    assert got == want
+
+
+def test_cap_per_key_skewed(ray_session):
+    """One hot key with 400 rows spread over many blocks must still cap at
+    k, and the combiner must not drop any globally-smallest ids."""
+    import pandas as pd
+    import ray.data
+    from wse_ray.functions.sampling import cap_per_key
+
+    rng = np.random.default_rng(3)
+    ids = rng.permutation(500)
+    keys = np.where(ids < 400, "hot", np.char.add("cold", (ids % 7).astype(str)))
+    df = pd.DataFrame({"doc_id": ids, "source": keys})
+    ds = ray.data.from_pandas(df).repartition(10)
+    out = cap_per_key(ds, "source", "doc_id", k=3).to_pandas()
+    want = (
+        df.sort_values("doc_id").groupby("source", sort=False).head(3)
+    )
+    got = out.sort_values(["source", "doc_id"]).reset_index(drop=True)
+    want = want.sort_values(["source", "doc_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "source"]], want[["doc_id", "source"]], check_dtype=False
+    )
+
+
+def test_hash_sample_content_keyed(ray_session):
+    """Exact duplicates must sample together (content-keyed determinism)."""
+    import pandas as pd
+    import ray.data
+    from wse_ray.functions.sampling import hash_sample
+
+    rows = [{"doc_id": i, "text": f"doc number {i % 20}"} for i in range(200)]
+    ds = ray.data.from_pandas(pd.DataFrame(rows)).repartition(5)
+    out = hash_sample(ds, keep_of_65536=0x8000).to_pandas()
+    kept_texts = set(out["text"])
+    for t in kept_texts:
+        assert (out["text"] == t).sum() == 10  # all 10 copies survive

@@ -52,6 +52,9 @@ SQL_CHECKED = [
     "doc_quality",
     "fingerprint_md5",
     "dedup_exact",
+    "dedup_normalized",
+    "sample_docs",
+    "docs_per_source_cap",
     "dedup_minhash",
     "dedup_ngram",
     "dedup_survivors",

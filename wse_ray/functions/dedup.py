@@ -82,6 +82,39 @@ def exact_dedup(ds) -> "ray.data.Dataset":  # noqa: F821
     )
 
 
+def normalize_text_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Canonicalize text for near-exact dedup: unicode lowercase, collapse
+    runs of whitespace to one space, strip leading/trailing spaces.
+    Vectorized Arrow kernels (RE2 regex, same engine DuckDB uses, so
+    ``lower`` + ``regexp_replace(.., '\\s+', ' ', 'g')`` + ``trim`` is the
+    exact SQL-parity expression)."""
+    import pyarrow.compute as pc
+
+    norm = pc.utf8_trim(
+        pc.replace_substring_regex(pc.utf8_lower(batch[text_col]), r"\s+", " "),
+        " ",
+    )
+    cols = {c: batch[c] for c in batch.column_names}
+    cols[text_col] = norm
+    return pa.table(cols)
+
+
+def normalized_dedup(ds) -> "ray.data.Dataset":  # noqa: F821
+    """Exact dedup over whitespace/case-normalized text — catches the
+    trivially-reformatted copies exact_dedup misses.  Same one-shuffle
+    (hash, id) aggregate as exact_dedup after a stateless normalize map."""
+
+    def hash_norm(t: pa.Table) -> pa.Table:
+        return add_md5(normalize_text_batch(t))
+
+    from ray.data.aggregate import Count, Min
+
+    hashed = ds.map_batches(hash_norm, batch_format="pyarrow")
+    return hashed.groupby("text_hash").aggregate(
+        Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies")
+    )
+
+
 # --------------------------------------------------------------------------
 # minhash + LSH
 # --------------------------------------------------------------------------

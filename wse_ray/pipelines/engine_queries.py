@@ -396,6 +396,46 @@ def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+def q_dedup_normalized(sf_dir: str) -> pd.DataFrame:
+    from ..functions.dedup import normalized_dedup
+
+    out = normalized_dedup(_docs_ds(sf_dir)).to_pandas()
+    return out.astype({"doc_id": np.int64, "n_copies": np.int64}).sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+
+
+def q_sample_docs(sf_dir: str) -> pd.DataFrame:
+    """Deterministic ~12.5% content-hash sample (md5 hex prefix < 0x2000) —
+    stateless filter, no shuffle, rerun/resume stable."""
+    from ..functions.sampling import hash_sample
+
+    out = hash_sample(_docs_ds(sf_dir), keep_of_65536=0x2000).to_pandas()
+    return (
+        out[["doc_id"]]
+        .astype({"doc_id": np.int64})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def q_docs_per_source_cap(sf_dir: str) -> pd.DataFrame:
+    """Per-domain quota: keep the 5 lowest-id docs of each source (the
+    per-domain cap of curation pipelines), via map-side top-k combiner +
+    keys x k shuffle."""
+    import ray.data
+
+    from ..functions.sampling import cap_per_key
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source"]
+    )
+    out = cap_per_key(ds, key_col="source", order_col="doc_id", k=5).to_pandas()
+    return out.astype({"doc_id": np.int64}).sort_values("doc_id").reset_index(
+        drop=True
+    )
+
+
 def q_dedup_minhash(sf_dir: str) -> pd.DataFrame:
     from ..functions.dedup import minhash_dedup_pairs
 

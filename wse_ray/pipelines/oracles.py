@@ -240,6 +240,35 @@ SELECT min(doc_id)::BIGINT AS doc_id, md5(text) AS text_hash,
 FROM documents GROUP BY md5(text) ORDER BY doc_id"""
 
 
+def sql_dedup_normalized() -> str:
+    # Same RE2 regex engine on both sides; trim after the collapse only
+    # ever strips single spaces, so plain trim() matches utf8_trim(" ").
+    return r"""
+SELECT min(doc_id)::BIGINT AS doc_id,
+       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS text_hash,
+       count(*)::BIGINT AS n_copies
+FROM documents
+GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+ORDER BY doc_id"""
+
+
+def sql_sample_docs() -> str:
+    return """
+SELECT doc_id FROM documents
+WHERE substr(md5(text), 1, 4) < '2000'
+ORDER BY doc_id"""
+
+
+def sql_docs_per_source_cap() -> str:
+    return """
+SELECT doc_id, source FROM (
+    SELECT doc_id, source,
+           row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+    FROM documents
+) WHERE rn <= 5
+ORDER BY doc_id"""
+
+
 def sql_dedup_minhash() -> str:
     # INDEPENDENT exact oracle: ground-truth shingle-Jaccard over all pairs.
     # The Ray pipeline goes through MinHash+LSH candidates first; at the
@@ -583,6 +612,9 @@ def oracle_sql_map() -> dict[str, str]:
         "doc_quality": sql_doc_quality(),
         "fingerprint_md5": sql_fingerprint_md5(),
         "dedup_exact": sql_dedup_exact(),
+        "dedup_normalized": sql_dedup_normalized(),
+        "sample_docs": sql_sample_docs(),
+        "docs_per_source_cap": sql_docs_per_source_cap(),
         "dedup_minhash": sql_dedup_minhash(),
         "dedup_ngram": sql_dedup_minhash(),  # exact-Jaccard ground truth, shared
         "dedup_survivors": sql_dedup_survivors(),
