@@ -39,6 +39,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doctable": eq.q_doctable,
         "corpus_stats": eq.q_corpus_stats,
         "term_df": eq.q_term_df,
+        # corpus n-gram counting (vectorized bigram build + distributed top-k)
+        "top_bigrams": eq.q_top_bigrams,
         "lexicon_stats": eq.q_lexicon_stats,
         "bm25_disjunctive": eq.q_bm25_disjunctive,
         "bm25_conjunctive": eq.q_bm25_conjunctive,

@@ -43,6 +43,7 @@ SQL_CHECKED = [
     "doctable",
     "corpus_stats",
     "term_df",
+    "top_bigrams",
     "lexicon_stats",
     "bm25_disjunctive",
     "bm25_conjunctive",

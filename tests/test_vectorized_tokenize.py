@@ -55,3 +55,18 @@ def test_property_random_bytes(texts):
 def test_fixture_corpus_equivalence(tiny_corpus):
     texts = [t.encode("utf-8") for t in tiny_corpus["text"].to_pylist()]
     _check(texts, "trec")
+
+
+def test_ngram_strings_batch_boundaries():
+    """n-grams never span documents; separator runs collapse; short docs
+    emit nothing; n=3 works through the chained join."""
+    import pyarrow as pa
+
+    from wse_ray.stages.vectorized_tokenize import ngram_strings_batch
+
+    t = pa.array(["a b c", "x  y", "solo", "", "p q r s"])
+    assert ngram_strings_batch(t, 2).to_pylist() == [
+        "a b", "b c", "x y", "p q", "q r", "r s",
+    ]
+    assert ngram_strings_batch(t, 3).to_pylist() == ["a b c", "p q r", "q r s"]
+    assert ngram_strings_batch(pa.array([], pa.string()), 2).to_pylist() == []

@@ -171,6 +171,42 @@ def q_term_df(sf_dir: str) -> pd.DataFrame:
     return agg.sort_values("term").reset_index(drop=True)
 
 
+TOP_BIGRAMS_K = 20
+
+
+def q_top_bigrams(sf_dir: str) -> pd.DataFrame:
+    """Corpus top-20 word bigrams by count (tie-break: bigram asc) — the
+    n-gram counting stage of corpus-statistics pipelines.  Per-batch
+    ``value_counts`` partials bound the shuffle at distinct-bigrams per
+    block; the global top-k runs as a distributed sort+limit, so the driver
+    never holds the full bigram table."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..stages.vectorized_tokenize import ngram_strings_batch
+
+    def partial(batch: pa.Table) -> pa.Table:
+        grams = ngram_strings_batch(batch["text"], n=2)
+        vc = grams.value_counts()
+        return pa.table(
+            {
+                "bigram": vc.field("values").cast(pa.string()),
+                "cnt_p": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    out = (
+        _docs_ds(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("cnt_p", alias_name="cnt"))
+        .sort(["cnt", "bigram"], descending=[True, False])
+        .limit(TOP_BIGRAMS_K)
+        .to_pandas()
+    )
+    return out.astype({"cnt": np.int64}).reset_index(drop=True)
+
+
 def q_lexicon_stats(sf_dir: str) -> pd.DataFrame:
     """Lexicon view of the BUILT index: df + 64-posting chunk counts (S5)."""
     import glob

@@ -240,6 +240,35 @@ SELECT min(doc_id)::BIGINT AS doc_id, md5(text) AS text_hash,
 FROM documents GROUP BY md5(text) ORDER BY doc_id"""
 
 
+def sql_top_bigrams() -> str:
+    # adjacency over the NON-EMPTY token sequence (separator runs collapse),
+    # matching the engine tokenizer's span semantics
+    return """
+WITH docs AS (
+  SELECT doc_id, string_split(text, ' ') AS parts FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(parts) AS term,
+         generate_subscripts(parts, 1) AS ord
+  FROM docs
+),
+seq AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY ord) AS pos
+  FROM toks WHERE term <> ''
+),
+big AS (
+  SELECT s.term || ' ' || lead(s.term) OVER (
+             PARTITION BY s.doc_id ORDER BY s.pos) AS bigram
+  FROM seq s
+)
+SELECT bigram, count(*)::BIGINT AS cnt
+FROM big WHERE bigram IS NOT NULL
+GROUP BY bigram
+ORDER BY cnt DESC, bigram
+LIMIT 20"""
+
+
 def sql_dedup_normalized() -> str:
     # Same RE2 regex engine on both sides; trim after the collapse only
     # ever strips single spaces, so plain trim() matches utf8_trim(" ").
@@ -613,6 +642,7 @@ def oracle_sql_map() -> dict[str, str]:
         "fingerprint_md5": sql_fingerprint_md5(),
         "dedup_exact": sql_dedup_exact(),
         "dedup_normalized": sql_dedup_normalized(),
+        "top_bigrams": sql_top_bigrams(),
         "sample_docs": sql_sample_docs(),
         "docs_per_source_cap": sql_docs_per_source_cap(),
         "dedup_minhash": sql_dedup_minhash(),

@@ -237,3 +237,38 @@ def shingle_hash_batch(texts: pa.Array, k: int = 3) -> tuple[np.ndarray, np.ndar
             live = kk_flat > j
             c[live] = (c[live] * _SHINGLE_MIX) ^ h[wstart[live] + j]
     return c, sh_off
+
+
+def ngram_strings_batch(texts: pa.Array, n: int = 2) -> pa.Array:
+    """All word n-grams of a batch as space-joined strings, corpus order —
+    the vectorized front half of corpus n-gram counting.
+
+    One gather builds the token values buffer (the tokenize_batch idiom),
+    then Arrow's ``binary_join_element_wise`` stitches the n offset slices
+    with spaces entirely in C++; a doc-boundary mask drops windows that
+    would span two documents.  Simple tokenizer mode (same adjacency as
+    consecutive non-empty tokens)."""
+    data, doc_off = _binary_buffer(texts)
+    t_start, t_end, doc_idx = _token_spans(data, doc_off, "simple")
+    ntok = len(t_start)
+    if ntok < n:
+        return pa.array([], pa.large_string())
+    lens = t_end - t_start
+    total = int(lens.sum())
+    cum = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    gather = np.repeat(t_start - cum, lens) + np.arange(total, dtype=np.int64)
+    values = data[gather]
+    tok_offsets = np.concatenate(([0], np.cumsum(lens))).astype(np.int64)
+    tok_arr = pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(),
+        len(lens),
+        [None, pa.py_buffer(tok_offsets.tobytes()), pa.py_buffer(values.tobytes())],
+    ).cast(pa.large_string())
+
+    m = ntok - n + 1  # candidate windows
+    slices = [tok_arr.slice(j, m) for j in range(n)]
+    joined = slices[0]
+    for s in slices[1:]:
+        joined = pc.binary_join_element_wise(joined, s, pa.scalar(" ", pa.large_string()))
+    within_doc = doc_idx[: m] == doc_idx[n - 1 :]
+    return joined.filter(pa.array(within_doc))
