@@ -41,6 +41,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_df": eq.q_term_df,
         # corpus n-gram counting (vectorized bigram build + distributed top-k)
         "top_bigrams": eq.q_top_bigrams,
+        # per-doc tf-idf keyword extraction (broadcast df, shuffle-free top-k)
+        "doc_keywords": eq.q_doc_keywords,
         "lexicon_stats": eq.q_lexicon_stats,
         "bm25_disjunctive": eq.q_bm25_disjunctive,
         "bm25_conjunctive": eq.q_bm25_conjunctive,

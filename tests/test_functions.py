@@ -496,3 +496,23 @@ def test_hash_sample_content_keyed(ray_session):
     kept_texts = set(out["text"])
     for t in kept_texts:
         assert (out["text"] == t).sum() == 10  # all 10 copies survive
+
+
+def test_histogram_quantiles_negative_values(ray_session):
+    """Negative bins exercise the arithmetic-shift coarse binning."""
+    import math
+
+    import pandas as pd
+    import ray.data
+    from wse_ray.functions.sketches import histogram_quantiles
+
+    rng = np.random.default_rng(11)
+    vals = np.round(rng.uniform(-500, 500, size=3000), 2)
+    df = pd.DataFrame({"k": ["x"] * 3000, "v": vals})
+    ds = ray.data.from_pandas(df).repartition(4)
+    got = histogram_quantiles(ds, "v", "k", qs=[0.1, 0.5, 0.99], decimals=2, shift=8)
+    s = np.sort(np.floor(vals * 100) / 100)
+    for q in [0.1, 0.5, 0.99]:
+        want = s[max(1, math.ceil(q * len(s))) - 1]
+        have = got[got["q"] == q]["quantile"].iloc[0]
+        assert have == want, (q, have, want)

@@ -44,6 +44,7 @@ SQL_CHECKED = [
     "corpus_stats",
     "term_df",
     "top_bigrams",
+    "doc_keywords",
     "lexicon_stats",
     "bm25_disjunctive",
     "bm25_conjunctive",

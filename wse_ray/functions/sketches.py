@@ -1,18 +1,34 @@
-"""Distributed quantiles by fixed-precision histogram aggregation.
+"""Distributed exact quantiles by coarse-histogram refinement.
 
-An exact distributed quantile normally needs a sort or multi-pass
-selection; discretizing the value to a fixed decimal precision first
-makes the histogram EXACT over the discretized values (not an
-approximation of them): per-batch (key, bin) counts are a bounded-
-cardinality partial aggregate — at any corpus size the shuffle carries
-at most ``keys x distinct-bins`` rows, and the quantile is read off the
-cumulative counts on the driver.  This is the bounded-state sketch shape
-(cf. histogram/t-digest sketches); with ``decimals`` high enough for the
-value's native precision the result is simply exact.
+An exact distributed quantile normally needs a global sort.  Instead:
+discretize the value to a fixed decimal precision (``floor(v * 10^d)`` —
+floor after an IEEE multiply is bit-identical across engines, so the
+result is EXACTLY DuckDB's ``quantile_disc`` over the discretized
+values), then
 
-Quantile rule: DuckDB ``quantile_disc`` semantics — the sorted value at
-0-based index ``ceil(q*n) - 1`` (verified empirically; equals the first
-value whose cumulative count reaches ``ceil(q*n)``).
+- **pass 1** aggregates a COARSE histogram: per-batch ``(key, bin >>
+  shift)`` counts (``np.unique`` over a composite key — at most
+  ``keys x coarse_bins`` rows per batch regardless of row count), summed
+  by one small groupby;
+- the **driver** walks each key's cumulative coarse counts to find, for
+  every q, the coarse bin containing rank ``ceil(q*n)`` and the count of
+  values below it;
+- **pass 2** re-reads the input but keeps ONLY rows whose coarse bin is
+  a target (a broadcast set lookup — typically ``1/coarse_bins`` of the
+  data), aggregates their exact bins, and reads the answer off the
+  refined cumulative counts.
+
+Driver/shuffle state is ``keys x coarse_bins`` + the target bins'
+distinct values — never the full value distribution.  Shuffle-wise both
+passes move bounded partial-count rows, not data rows.
+
+Quantile rule: DuckDB ``quantile_disc`` — the sorted value at 0-based
+index ``ceil(q*n) - 1``.
+
+Assumes ``key_col`` is a grouping dimension (low cardinality) and the
+value range spans a sane number of coarse bins at the given shift
+(``range * 10^decimals / 2^shift``); both are the normal shape for
+"quantiles by category" and are documented knobs, not hidden limits.
 """
 from __future__ import annotations
 
@@ -23,53 +39,118 @@ import pandas as pd
 import pyarrow as pa
 
 
+def _bin_counts(keys: np.ndarray, bins: np.ndarray) -> pd.DataFrame:
+    """Vectorized (key, bin) -> count over one batch via composite unique."""
+    kcodes, kuniq = pd.factorize(keys)
+    comp = kcodes.astype(np.int64) * (bins.max() - bins.min() + 1) + (
+        bins - bins.min()
+    )
+    uc, counts = np.unique(comp, return_counts=True)
+    span = bins.max() - bins.min() + 1
+    return pd.DataFrame(
+        {
+            "key": kuniq.take(uc // span),
+            "bin": (uc % span) + bins.min(),
+            "cnt": counts.astype(np.int64),
+        }
+    )
+
+
 def histogram_quantiles(
     ds,
     value_col: str,
     key_col: str,
     qs: list[float],
     decimals: int = 2,
+    shift: int = 16,
 ) -> pd.DataFrame:
     """Per-key ``quantile_disc`` of ``floor(value * 10^decimals) /
-    10^decimals`` — floor-discretization rather than rounding because
-    ``floor`` after an IEEE multiply is bit-identical across engines
-    (round-half rules differ between numpy and SQL).
-
-    Returns one row per (key, q): ``(key_col, q, quantile)``.
-    """
+    10^decimals``.  Returns one row per (key, q): ``(key_col, q,
+    quantile)``.  Exact — the coarse pass only narrows where the second
+    pass looks."""
+    import ray
     from ray.data.aggregate import Sum
 
     scale = 10**decimals
 
-    def partial(t: pa.Table) -> pa.Table:
-        df = pa.table(
-            {key_col: t[key_col], value_col: t[value_col]}
-        ).to_pandas()
+    def to_bins(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        keys = t[key_col].to_numpy(zero_copy_only=False)
         bins = np.floor(
-            df[value_col].to_numpy(np.float64) * scale
+            t[value_col].to_numpy(zero_copy_only=False).astype(np.float64) * scale
         ).astype(np.int64)
-        g = (
-            pd.DataFrame({key_col: df[key_col], "bin": bins})
-            .groupby([key_col, "bin"], sort=False)
-            .size()
-            .reset_index(name="cnt")
-        )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return keys, bins
 
-    hist = (
-        ds.map_batches(partial, batch_format="pyarrow")
+    def _empty(t: pa.Table, bin_name: str) -> pa.Table:
+        return pa.table(
+            {key_col: t[key_col].slice(0, 0),
+             bin_name: pa.array([], pa.int64()),
+             "cnt": pa.array([], pa.int64())}
+        )
+
+    def coarse_partial(t: pa.Table) -> pa.Table:
+        keys, bins = to_bins(t)
+        if len(keys) == 0:
+            return _empty(t, "cbin")
+        g = _bin_counts(keys, bins >> shift)
+        return pa.table(
+            {key_col: pa.array(g["key"]), "cbin": pa.array(g["bin"].to_numpy()),
+             "cnt": pa.array(g["cnt"].to_numpy())}
+        )
+
+    coarse = (
+        ds.map_batches(coarse_partial, batch_format="pyarrow")
+        .groupby([key_col, "cbin"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # keys x coarse_bins rows
+    )
+
+    # driver: locate the target coarse bin + below-count per (key, q)
+    targets: dict[object, set[int]] = {}
+    plan = []  # (key, q, rank_within_target_cbin_prefix, target_cbin, below)
+    for key, g in coarse.groupby(key_col, sort=True):
+        g = g.sort_values("cbin")
+        cum = g["cnt"].cumsum().to_numpy(np.int64)
+        cbins = g["cbin"].to_numpy(np.int64)
+        n = int(cum[-1])
+        for q in qs:
+            r = max(1, math.ceil(q * n))
+            i = int(np.searchsorted(cum, r))
+            below = int(cum[i - 1]) if i > 0 else 0
+            targets.setdefault(key, set()).add(int(cbins[i]))
+            plan.append((key, q, r, int(cbins[i]), below))
+
+    ref = ray.put({k: frozenset(v) for k, v in targets.items()})
+
+    def refine_partial(t: pa.Table) -> pa.Table:
+        want = ray.get(ref)
+        keys, bins = to_bins(t)
+        if len(keys) == 0:
+            return _empty(t, "bin")
+        cb = bins >> shift
+        # vectorized per key (key_col is a low-cardinality dimension)
+        mask = np.zeros(len(keys), dtype=bool)
+        for k, cbs in want.items():
+            mask |= (keys == k) & np.isin(cb, np.fromiter(cbs, dtype=np.int64))
+        if not mask.any():
+            return _empty(t, "bin")
+        g = _bin_counts(keys[mask], bins[mask])
+        return pa.table(
+            {key_col: pa.array(g["key"]), "bin": pa.array(g["bin"].to_numpy()),
+             "cnt": pa.array(g["cnt"].to_numpy())}
+        )
+
+    fine = (
+        ds.map_batches(refine_partial, batch_format="pyarrow")
         .groupby([key_col, "bin"])
         .aggregate(Sum("cnt", alias_name="cnt"))
-        .to_pandas()  # keys x bins rows — bounded by value cardinality
+        .to_pandas()  # only target coarse bins' distinct values
     )
+
     rows = []
-    for key, g in hist.groupby(key_col, sort=True):
+    for key, q, r, cbin, below in plan:
+        g = fine[(fine[key_col] == key) & ((fine["bin"].to_numpy() >> shift) == cbin)]
         g = g.sort_values("bin")
-        cum = g["cnt"].cumsum().to_numpy(np.int64)
-        n = int(cum[-1])
-        vals = g["bin"].to_numpy(np.int64)
-        for q in qs:
-            target = max(1, math.ceil(q * n))
-            idx = int(np.searchsorted(cum, target))
-            rows.append((key, q, vals[idx] / scale))
+        cum = below + g["cnt"].cumsum().to_numpy(np.int64)
+        idx = int(np.searchsorted(cum, r))
+        rows.append((key, q, int(g["bin"].to_numpy()[idx]) / scale))
     return pd.DataFrame(rows, columns=[key_col, "q", "quantile"])

@@ -207,6 +207,75 @@ def q_top_bigrams(sf_dir: str) -> pd.DataFrame:
     return out.astype({"cnt": np.int64}).reset_index(drop=True)
 
 
+KEYWORDS_PER_DOC = 3
+
+
+def q_doc_keywords(sf_dir: str) -> pd.DataFrame:
+    """Top-3 tf·idf keywords per document (weight = tf * ln(N/df), the
+    keyword-extraction stage of snippet generation, cf. hw3 tf·idf weights).
+
+    Two passes: a vocab-sized df aggregate (same envelope as the serving
+    lexicon — broadcast once via ray.put, read per task), then a per-batch
+    vectorized top-k: every doc's postings live in one batch row, so the
+    selection is a single lexsort per batch with NO shuffle."""
+    import ray
+    import ray.data
+
+    from ray.data.aggregate import Sum
+
+    runs = _tokenized_runs(sf_dir)
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        batch = explode_postings(batch)
+        terms = batch["term"].to_numpy(zero_copy_only=False)
+        u, c = np.unique(terms, return_counts=True)
+        return pa.table(
+            {"term": pa.array(list(u), pa.large_binary()), "df_p": pa.array(c.astype(np.int64))}
+        )
+
+    dft = (
+        runs.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df_p", alias_name="df"))
+        .to_pandas()
+    )
+    vocab = np.sort(dft["term"].to_numpy())
+    order = np.argsort(dft["term"].to_numpy())
+    dfs = dft["df"].to_numpy(np.int64)[order]
+    n_docs = _docs_ds(sf_dir).count()
+    ref = ray.put((vocab, dfs))
+
+    def topk(batch: pa.Table) -> pa.Table:
+        # explode INSIDE the task: a doc's postings come from one runs row,
+        # so the whole doc is guaranteed local to this batch (re-batching
+        # between two map_batches could otherwise split a doc)
+        batch = explode_postings(batch)
+        v, d = ray.get(ref)
+        doc = batch["docID"].to_numpy(zero_copy_only=False).astype(np.int64)
+        term = batch["term"].to_numpy(zero_copy_only=False)
+        tf = batch["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        rank = np.searchsorted(v, term)
+        w = tf * np.log(float(n_docs) / d[rank])
+        sel = np.lexsort((rank, -w, doc))
+        doc_s = doc[sel]
+        first = np.concatenate(([True], doc_s[1:] != doc_s[:-1]))
+        grp_start = np.repeat(np.flatnonzero(first), np.diff(np.concatenate((np.flatnonzero(first), [len(doc_s)]))))
+        within = np.arange(len(doc_s)) - grp_start
+        keep = sel[within < KEYWORDS_PER_DOC]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[keep]),
+                "term": pa.array([t.decode("utf-8") for t in term[keep]], pa.string()),
+                "weight": pa.array(np.round(w[keep], 6)),
+            }
+        )
+
+    out = runs.map_batches(topk, batch_format="pyarrow").to_pandas()
+    return out.astype({"doc_id": np.int64, "weight": np.float64}).sort_values(
+        ["doc_id", "term"]
+    ).reset_index(drop=True)
+
+
 def q_lexicon_stats(sf_dir: str) -> pd.DataFrame:
     """Lexicon view of the BUILT index: df + 64-posting chunk counts (S5)."""
     import glob

@@ -240,6 +240,18 @@ SELECT min(doc_id)::BIGINT AS doc_id, md5(text) AS text_hash,
 FROM documents GROUP BY md5(text) ORDER BY doc_id"""
 
 
+def sql_doc_keywords() -> str:
+    return f"""WITH {_TOK}
+SELECT doc_id, term, weight FROM (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln(s.n::DOUBLE / dft.df), 6) AS weight,
+         row_number() OVER (PARTITION BY tf.doc_id
+             ORDER BY tf.tf * ln(s.n::DOUBLE / dft.df) DESC, tf.term) AS rn
+  FROM tf JOIN dft USING(term) CROSS JOIN stats s
+) WHERE rn <= 3
+ORDER BY doc_id, term"""
+
+
 def sql_top_bigrams() -> str:
     # adjacency over the NON-EMPTY token sequence (separator runs collapse),
     # matching the engine tokenizer's span semantics
@@ -643,6 +655,7 @@ def oracle_sql_map() -> dict[str, str]:
         "dedup_exact": sql_dedup_exact(),
         "dedup_normalized": sql_dedup_normalized(),
         "top_bigrams": sql_top_bigrams(),
+        "doc_keywords": sql_doc_keywords(),
         "sample_docs": sql_sample_docs(),
         "docs_per_source_cap": sql_docs_per_source_cap(),
         "dedup_minhash": sql_dedup_minhash(),
