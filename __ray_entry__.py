@@ -94,6 +94,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_assignments": rel.q_session_assignments,
         # distributed quantiles via bounded-state histogram sketch
         "price_quantiles": rel.q_price_quantiles,
+        # ordered-sequence funnel (view -> click -> purchase strict chain)
+        "funnel": rel.q_funnel,
         "events_window": rel.q_events_window,
         "top_users": rel.q_top_users,
         "sessionize": rel.q_sessionize,

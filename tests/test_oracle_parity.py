@@ -72,6 +72,7 @@ SQL_CHECKED = [
     "click_error_pairs",
     "session_assignments",
     "price_quantiles",
+    "funnel",
     "events_window",
     "top_users",
     "sessionize",

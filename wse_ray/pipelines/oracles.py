@@ -480,6 +480,29 @@ GROUP BY o.o_orderpriority
 ORDER BY o.o_orderpriority"""
 
 
+def sql_funnel() -> str:
+    return """
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT 1::BIGINT AS stage, 'view' AS event_type, count(*)::BIGINT AS n_users FROM v
+UNION ALL
+SELECT 2::BIGINT, 'click', count(*)::BIGINT FROM c
+UNION ALL
+SELECT 3::BIGINT, 'purchase', count(*)::BIGINT FROM p
+ORDER BY stage"""
+
+
 def sql_session_assignments() -> str:
     return """
 SELECT event_id, user_id,
@@ -674,6 +697,7 @@ def oracle_sql_map() -> dict[str, str]:
         "click_error_pairs": sql_click_error_pairs(),
         "session_assignments": sql_session_assignments(),
         "price_quantiles": sql_price_quantiles(),
+        "funnel": sql_funnel(),
         "events_window": sql_events_window(),
         "top_users": sql_top_users(),
         "sessionize": sql_sessionize(),

@@ -407,6 +407,50 @@ def q_distinct_users_daily(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("day").reset_index(drop=True)
 
 
+_FUNNEL = ["view", "click", "purchase"]
+
+
+def q_funnel(sf_dir: str) -> pd.DataFrame:
+    """Ordered-sequence funnel: users reaching each stage of
+    view -> click -> purchase, where stage k+1 must happen STRICTLY after
+    the user's earliest qualifying stage-k event (the classic strict
+    funnel chain).  One user-key shuffle of only the three event types;
+    per-user chain is a vectorized min-scan; stage counts flow back as
+    3-number partials per batch."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["event_type"], value_set=pa.array(_FUNNEL)))
+
+    def chain(g: pd.DataFrame) -> pd.DataFrame:
+        stage = 0
+        cutoff = pd.Timestamp.min
+        for ev in _FUNNEL:
+            ts = g.loc[(g["event_type"] == ev) & (g["ts"] > cutoff), "ts"]
+            if ts.empty:
+                break
+            stage += 1
+            cutoff = ts.min()
+        return pd.DataFrame({"user_id": g["user_id"].iloc[:1], "stage": [stage]})
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        reached = [int((df["stage"] >= s).sum()) for s in (1, 2, 3)]
+        return pd.DataFrame({"stage": [1, 2, 3], "n_users_p": reached})
+
+    per_user = (
+        ds.map_batches(keep, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(chain, batch_format="pandas")
+    )
+    partials = per_user.map_batches(partial_counts, batch_format="pandas").to_pandas()
+    out = partials.groupby("stage", as_index=False).agg(n_users=("n_users_p", "sum"))
+    out["event_type"] = _FUNNEL
+    out = out[["stage", "event_type", "n_users"]].astype(
+        {"stage": np.int64, "n_users": np.int64}
+    )
+    return out.sort_values("stage").reset_index(drop=True)
+
+
 def q_price_quantiles(sf_dir: str) -> pd.DataFrame:
     """Distributed per-key quantiles without a global sort: fixed-precision
     histogram sketch (``wse_ray.functions.sketches.histogram_quantiles``).
