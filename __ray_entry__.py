@@ -60,6 +60,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_normalized": eq.q_dedup_normalized,
         # deterministic content-hash sampling (stateless, resume-stable)
         "sample_docs": eq.q_sample_docs,
+        # benchmark decontamination: word-5-gram overlap vs a held-out slice
+        # (broadcast bench gram-hash set, shuffle-free corpus probe)
+        "decontam": eq.q_decontam,
         # per-domain quota cap (map-side top-k combiner)
         "docs_per_source_cap": eq.q_docs_per_source_cap,
         # exact-Jaccard SQL oracle; NOTE gate equality is sf-dependent: at

@@ -516,3 +516,31 @@ def test_histogram_quantiles_negative_values(ray_session):
         want = s[max(1, math.ceil(q * len(s))) - 1]
         have = got[got["q"] == q]["quantile"].iloc[0]
         assert have == want, (q, have, want)
+
+
+def test_decontam_planted_overlap(ray_session):
+    """Planted 5-gram overlap is found with exact distinct-gram counts;
+    short docs (< k tokens) emit no grams and never hit."""
+    import pandas as pd
+    import ray.data
+    from wse_ray.functions.decontam import benchmark_gram_set, contamination_hits
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        # copies the bench doc's first 5-gram twice (distinct count = 1)
+        {"doc_id": 1, "text": "alpha beta gamma delta epsilon x "
+                              "alpha beta gamma delta epsilon"},
+        # two distinct overlapping grams (windows 2..3 of bench doc)
+        {"doc_id": 2, "text": "beta gamma delta epsilon zeta eta"},
+        {"doc_id": 3, "text": "totally unrelated words with no overlap at all"},
+        # contains bench tokens but shorter than k -> no grams, no hit
+        {"doc_id": 4, "text": "alpha beta gamma delta"},
+    ]
+    bench = ray.data.from_pandas(pd.DataFrame([{"doc_id": 0, "text": bench_text}]))
+    corpus = ray.data.from_pandas(pd.DataFrame(rows)).repartition(2)
+    grams = benchmark_gram_set(bench, k=5)
+    assert len(grams) == 4  # 8 tokens -> 4 windows
+    out = contamination_hits(corpus, grams, k=5).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == [1, 2]
+    assert out["n_hits"].tolist() == [1, 2]

@@ -55,6 +55,7 @@ SQL_CHECKED = [
     "fingerprint_md5",
     "dedup_exact",
     "dedup_normalized",
+    "decontam",
     "sample_docs",
     "docs_per_source_cap",
     "dedup_minhash",

@@ -569,6 +569,36 @@ def q_dedup_survivors(sf_dir: str) -> pd.DataFrame:
     return dedup_clusters(q_dedup_minhash(sf_dir))
 
 
+def q_decontam(sf_dir: str) -> pd.DataFrame:
+    """Benchmark decontamination: docs sharing >=1 distinct word 5-gram with
+    a deterministic held-out "benchmark" slice (doc_id % 5 == 0).  The
+    bench side is eval-set sized, so its distinct gram-hash set broadcasts
+    once (ray.put) and the corpus streams through a stateless probe — no
+    shuffle (functions/decontam.py)."""
+    import pyarrow as pa
+
+    from ..functions.decontam import benchmark_gram_set, contamination_hits
+
+    def _split(bench: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            mask = (ids % 5 == 0) if bench else (ids % 5 != 0)
+            return t.filter(pa.array(mask))
+
+        return f
+
+    ds = _docs_ds(sf_dir)
+    grams = benchmark_gram_set(
+        ds.map_batches(_split(True), batch_format="pyarrow"), k=5
+    )
+    out = contamination_hits(
+        ds.map_batches(_split(False), batch_format="pyarrow"), grams, k=5
+    ).to_pandas()
+    return out.astype({"doc_id": np.int64, "n_hits": np.int64}).sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+
+
 def q_dedup_simhash(sf_dir: str) -> pd.DataFrame:
     from ..functions.dedup import simhash_pairs
 

@@ -293,6 +293,32 @@ GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
 ORDER BY doc_id"""
 
 
+def sql_decontam() -> str:
+    # Exact string 5-gram recomputation: bench slice = doc_id % 5 == 0,
+    # n_hits = DISTINCT grams of a corpus doc found anywhere in the bench
+    # slice.  The Ray side counts distinct 64-bit FNV gram hashes off the
+    # Arrow buffers — 1:1 with string grams modulo collisions (same
+    # contract as sql_dedup_minhash).  Docs with < 5 tokens emit no grams
+    # on both sides.
+    return """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS parts
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(parts[i:i+4], ' ') AS gram
+  FROM toks, unnest(generate_series(1, len(parts) - 4)) AS g(i)
+  WHERE len(parts) >= 5
+),
+dg AS (SELECT DISTINCT doc_id, gram FROM grams),
+bench AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 5 = 0)
+SELECT d.doc_id, count(*)::BIGINT AS n_hits
+FROM dg d JOIN bench b ON d.gram = b.gram
+WHERE d.doc_id % 5 <> 0
+GROUP BY d.doc_id
+ORDER BY d.doc_id"""
+
+
 def sql_sample_docs() -> str:
     return """
 SELECT doc_id FROM documents
@@ -677,6 +703,7 @@ def oracle_sql_map() -> dict[str, str]:
         "fingerprint_md5": sql_fingerprint_md5(),
         "dedup_exact": sql_dedup_exact(),
         "dedup_normalized": sql_dedup_normalized(),
+        "decontam": sql_decontam(),
         "top_bigrams": sql_top_bigrams(),
         "doc_keywords": sql_doc_keywords(),
         "sample_docs": sql_sample_docs(),
