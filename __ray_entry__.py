@@ -53,6 +53,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": eq.q_token_counts,
         "doc_quality": eq.q_doc_quality,
         "lang_id": eq.q_lang_id,
+        # Gopher-style token n-gram repetition quality signals
+        "repetition_stats": eq.q_repetition_stats,
+        # PII counts + redacted-text md5 (RE2 kernels, shared patterns)
+        "pii_scrub": eq.q_pii_scrub,
         "fingerprint_md5": eq.q_fingerprint_md5,
         # dedup / similarity
         "dedup_exact": eq.q_dedup_exact,

@@ -544,3 +544,70 @@ def test_decontam_planted_overlap(ray_session):
     out = out.sort_values("doc_id").reset_index(drop=True)
     assert out["doc_id"].tolist() == [1, 2]
     assert out["n_hits"].tolist() == [1, 2]
+
+
+def test_repetition_stats_hand_values(ray_session):
+    """Hand-checked n-gram repetition fractions, incl. short-doc masking."""
+    import pandas as pd
+    import ray.data
+    from wse_ray.functions.textstats import repetition_stats
+
+    rows = [
+        # "a b a b a": bigrams [ab, ba, ab, ba] -> top 2/4; trigrams
+        # [aba, bab, aba] -> distinct 2 of 3 -> dup 1/3
+        {"doc_id": 1, "text": "a b a b a"},
+        # all-distinct grams: top bigram 1/3, dup trigram 0
+        {"doc_id": 2, "text": "w x y z"},
+        # 1 token: no bigrams/trigrams -> both 0 (whole-seq shingle masked)
+        {"doc_id": 3, "text": "solo"},
+        # 2 tokens: one bigram (top frac 1.0), no trigram
+        {"doc_id": 4, "text": "pair pair"},
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame(rows)).repartition(2)
+    out = (
+        ds.map_batches(repetition_stats, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["top_bigram_frac"].tolist() == [0.5, round(1 / 3, 6), 0.0, 1.0]
+    assert out["dup_trigram_frac"].tolist() == [round(1 / 3, 6), 0.0, 0.0, 0.0]
+
+
+def test_pii_scrub_planted(ray_session):
+    """Planted emails/IPs/phones: the Ray RE2 kernels and the DuckDB oracle
+    SQL (run on the SAME planted frame) agree on counts and redacted md5 —
+    this pins the FIRING semantics the zero-PII driver corpus can't."""
+    import duckdb
+    import pandas as pd
+    import ray.data
+    from wse_ray.functions.pii import pii_scrub
+    from wse_ray.pipelines.oracles import sql_pii_scrub
+
+    rows = [
+        {"doc_id": 1, "text": "contact bob.smith+x@example.co.uk or admin@y.io now"},
+        {"doc_id": 2, "text": "server at 10.0.255.1 and 192.168.1.77, call 555-123-4567"},
+        {"doc_id": 3, "text": "no pii here at all"},
+        # email whose redaction must not leave a countable ip; phone-like
+        # digits inside an ip must not double-count
+        {"doc_id": 4, "text": "x@1.2.3.4.example.com then 1.2.3.4 then 123-456-7890"},
+    ]
+    df = pd.DataFrame(rows)
+    got = (
+        ray.data.from_pandas(df)
+        .map_batches(pii_scrub, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", df)
+    want = con.sql(sql_pii_scrub()).df()
+    pd.testing.assert_frame_equal(
+        got.astype({"n_email": "int64", "n_ipv4": "int64", "n_phone": "int64"}),
+        want.astype({"n_email": "int64", "n_ipv4": "int64", "n_phone": "int64"}),
+        check_dtype=False,
+    )
+    assert got["n_email"].tolist() == [2, 0, 0, 1]
+    assert got["n_ipv4"].tolist() == [0, 2, 0, 1]
+    assert got["n_phone"].tolist() == [0, 1, 0, 1]

@@ -56,6 +56,8 @@ SQL_CHECKED = [
     "dedup_exact",
     "dedup_normalized",
     "decontam",
+    "repetition_stats",
+    "pii_scrub",
     "sample_docs",
     "docs_per_source_cap",
     "dedup_minhash",

@@ -100,6 +100,74 @@ def quality_score(batch: pa.Table) -> pa.Table:
     )
 
 
+def _per_doc_runs(h: np.ndarray, off: np.ndarray):
+    """Per-doc (max duplicate-run count, distinct count) over flat doc-major
+    hashes — one lexsort, no per-doc loops."""
+    ndoc = len(off) - 1
+    nsh = np.diff(off)
+    maxcnt = np.zeros(ndoc, np.int64)
+    distinct = np.zeros(ndoc, np.int64)
+    if len(h) == 0:
+        return maxcnt, distinct
+    didx = np.repeat(np.arange(ndoc, dtype=np.int64), nsh)
+    order = np.lexsort((h, didx))
+    hs, ds = h[order], didx[order]
+    newrun = np.concatenate(([True], (ds[1:] != ds[:-1]) | (hs[1:] != hs[:-1])))
+    run_id = np.cumsum(newrun) - 1
+    run_counts = np.bincount(run_id)
+    run_doc = ds[newrun]
+    distinct = np.bincount(run_doc, minlength=ndoc).astype(np.int64)
+    np.maximum.at(maxcnt, run_doc, run_counts)
+    return maxcnt, distinct
+
+
+def repetition_stats(batch: pa.Table) -> pa.Table:
+    """Gopher-style token n-gram repetition signals (the repetition half of
+    web-corpus quality filtering):
+
+    - ``top_bigram_frac``: occurrences of the single most frequent token
+      2-gram as a fraction of all 2-gram positions (0 if < 2 tokens)
+    - ``dup_trigram_frac``: fraction of 3-gram positions whose 3-gram also
+      occurs elsewhere in the doc, 1 - distinct/total (0 if < 3 tokens)
+
+    N-grams are 64-bit window hashes straight off the Arrow buffers
+    (shingle_hash_batch) — 1:1 with string n-grams modulo collisions, so
+    the DuckDB string-gram oracle matches exactly.  Whole-sequence shingles
+    emitted for docs shorter than the window are masked out.
+    """
+    from ..stages.vectorized_tokenize import (
+        _binary_buffer,
+        _token_spans,
+        shingle_hash_batch,
+    )
+
+    texts = _text_col(batch)
+    data, doc_off = _binary_buffer(texts)
+    _, _, doc_idx = _token_spans(data, doc_off, "simple")
+    ntok = np.bincount(doc_idx, minlength=len(doc_off) - 1).astype(np.int64)
+
+    out = {"doc_id": batch["doc_id"]}
+    for name, k in (("top_bigram_frac", 2), ("dup_trigram_frac", 3)):
+        h, off = shingle_hash_batch(texts, k=k)
+        # mask whole-sequence shingles of docs with fewer than k tokens
+        short = ntok < k
+        if short.any():
+            nsh = np.diff(off)
+            h = h[np.repeat(~short, nsh)]
+            nsh = np.where(short, 0, nsh)
+            off = np.concatenate(([0], np.cumsum(nsh))).astype(np.int64)
+        total = np.diff(off).astype(np.float64)
+        maxcnt, distinct = _per_doc_runs(h, off)
+        ok = total > 0
+        safe = np.maximum(total, 1.0)
+        if k == 2:
+            frac = np.where(ok, maxcnt / safe, 0.0)
+        else:
+            frac = np.where(ok, 1.0 - distinct / safe, 0.0)
+        out[name] = pa.array(np.round(frac, 6))
+    return pa.table(out)
+
+
 def lang_id(batch: pa.Table) -> pa.Table:
     """Deterministic language-ID heuristic: marker-word hit ratio per
     language, argmax with fixed alphabetical tie order (strict >, so equal

@@ -480,6 +480,31 @@ def q_lang_id(sf_dir: str) -> pd.DataFrame:
     return out.astype({"doc_id": np.int64}).sort_values("doc_id").reset_index(drop=True)
 
 
+def q_repetition_stats(sf_dir: str) -> pd.DataFrame:
+    from ..functions.textstats import repetition_stats
+
+    out = _docs_ds(sf_dir).map_batches(
+        repetition_stats, batch_format="pyarrow"
+    ).to_pandas()
+    return out.astype({"doc_id": np.int64}).sort_values("doc_id").reset_index(
+        drop=True
+    )
+
+
+def q_pii_scrub(sf_dir: str) -> pd.DataFrame:
+    """PII counts + md5 of the redacted text per doc.  The synthetic corpus
+    contains no PII (counts 0, redacted == original — validating the
+    passthrough path); the firing semantics are pinned by a planted-PII
+    pytest that runs the same SQL on the planted frame."""
+    from ..functions.pii import pii_scrub
+
+    out = _docs_ds(sf_dir).map_batches(pii_scrub, batch_format="pyarrow").to_pandas()
+    return out.astype(
+        {"doc_id": np.int64, "n_email": np.int64, "n_ipv4": np.int64,
+         "n_phone": np.int64}
+    ).sort_values("doc_id").reset_index(drop=True)
+
+
 def q_fingerprint_md5(sf_dir: str) -> pd.DataFrame:
     from ..functions.dedup import add_md5
 

@@ -293,6 +293,66 @@ GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
 ORDER BY doc_id"""
 
 
+def sql_repetition_stats() -> str:
+    # Exact string-gram recomputation of the token-n-gram repetition
+    # signals (Ray side hashes grams off the Arrow buffers, 1:1 with
+    # string grams modulo 64-bit collisions).  Docs shorter than the
+    # window get 0 on both sides.
+    return """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS parts
+  FROM documents
+),
+base AS (SELECT doc_id, len(parts) AS n, parts FROM toks),
+g2 AS (
+  SELECT doc_id, parts[i] || ' ' || parts[i+1] AS g
+  FROM base, unnest(generate_series(1, n - 1)) AS t(i) WHERE n >= 2
+),
+g3 AS (
+  SELECT doc_id, array_to_string(parts[i:i+2], ' ') AS g
+  FROM base, unnest(generate_series(1, n - 2)) AS t(i) WHERE n >= 3
+),
+top2 AS (
+  SELECT doc_id, max(c) AS m, sum(c) AS tot
+  FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY 1
+),
+d3 AS (
+  SELECT doc_id, count(DISTINCT g) AS dd, count(*) AS tt FROM g3 GROUP BY 1
+)
+SELECT b.doc_id,
+       round(coalesce(t.m::DOUBLE / t.tot, 0), 6) AS top_bigram_frac,
+       round(coalesce(1.0 - d.dd::DOUBLE / d.tt, 0), 6) AS dup_trigram_frac
+FROM base b LEFT JOIN top2 t USING (doc_id) LEFT JOIN d3 d USING (doc_id)
+ORDER BY b.doc_id"""
+
+
+def sql_pii_scrub() -> str:
+    # Same RE2 patterns VERBATIM as functions/pii.py (both engines are
+    # RE2); counts run on the progressively-redacted text in the same
+    # email -> ipv4 -> phone order.
+    from ..functions.pii import PII_PATTERNS
+
+    sql = "WITH r0 AS (SELECT doc_id, text AS t FROM documents)"
+    prev = "r0"
+    counts = []
+    for i, (name, pat, repl) in enumerate(PII_PATTERNS, start=1):
+        carried = ", ".join(f"n_{n}" for n, _, _ in PII_PATTERNS[: i - 1])
+        carried = carried + ", " if carried else ""
+        sql += f""",
+r{i} AS (
+  SELECT doc_id, {carried}
+         len(regexp_extract_all(t, '{pat}'))::BIGINT AS n_{name},
+         regexp_replace(t, '{pat}', '{repl}', 'g') AS t
+  FROM {prev}
+)"""
+        prev = f"r{i}"
+        counts.append(f"n_{name}")
+    sql += f"""
+SELECT doc_id, {', '.join(counts)}, md5(t) AS redacted_md5
+FROM {prev} ORDER BY doc_id"""
+    return sql
+
+
 def sql_decontam() -> str:
     # Exact string 5-gram recomputation: bench slice = doc_id % 5 == 0,
     # n_hits = DISTINCT grams of a corpus doc found anywhere in the bench
@@ -704,6 +764,8 @@ def oracle_sql_map() -> dict[str, str]:
         "dedup_exact": sql_dedup_exact(),
         "dedup_normalized": sql_dedup_normalized(),
         "decontam": sql_decontam(),
+        "repetition_stats": sql_repetition_stats(),
+        "pii_scrub": sql_pii_scrub(),
         "top_bigrams": sql_top_bigrams(),
         "doc_keywords": sql_doc_keywords(),
         "sample_docs": sql_sample_docs(),
