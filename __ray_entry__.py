@@ -82,6 +82,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": eq.q_dedup_embedding,
         "ann_topk": eq.q_ann_topk,
         "ann_ivf": eq.q_ann_ivf,  # pinned-golden oracle (approximate by design)
+        # distributed k-means over embeddings (broadcast centroids, map-side
+        # partial sums; iterative -> pinned-golden oracle)
+        "kmeans_embed": eq.q_kmeans_embed,
         "multimodal_meta": eq.q_multimodal_meta,
         # hw1 crawler over a local deterministic page store (no network);
         # iterative frontier state is not SQL-expressible -> rows-only gate

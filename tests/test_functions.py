@@ -611,3 +611,33 @@ def test_pii_scrub_planted(ray_session):
     assert got["n_email"].tolist() == [2, 0, 0, 1]
     assert got["n_ipv4"].tolist() == [0, 2, 0, 1]
     assert got["n_phone"].tolist() == [0, 1, 0, 1]
+
+
+def test_kmeans_planted_blobs(ray_session):
+    """K-means recovers well-separated planted Gaussian blobs exactly, and
+    inertia is monotone non-increasing across Lloyd's iterations."""
+    import pandas as pd
+    import ray.data
+    from wse_ray.functions.clustering import kmeans_assign, kmeans_fit
+
+    rng = np.random.default_rng(7)
+    k, per, d = 4, 50, 16
+    centers = rng.normal(size=(k, d)) * 20.0
+    X = np.concatenate([c + rng.normal(size=(per, d)) for c in centers])
+    truth = np.repeat(np.arange(k), per)
+    order = rng.permutation(len(X))
+    X, truth = X[order], truth[order]
+    df = pd.DataFrame(
+        {"vec_id": np.arange(len(X)), "embedding": [v.astype(np.float32) for v in X]}
+    )
+    ds = ray.data.from_pandas(df).repartition(3)
+    C, hist = kmeans_fit(ds, k=k, iters=6)
+    assert all(a >= b - 1e-9 for a, b in zip(hist, hist[1:])), hist
+    out = kmeans_assign(ds, C).to_pandas().sort_values("vec_id")
+    # each found cluster maps 1:1 onto one planted blob
+    m = pd.DataFrame({"cluster": out["cluster"].to_numpy(), "truth": truth})
+    purity = m.groupby("cluster")["truth"].agg(
+        lambda s: s.value_counts().iloc[0]
+    ).sum() / len(m)
+    assert purity == 1.0, purity
+    assert m.groupby("cluster")["truth"].nunique().max() == 1

@@ -85,6 +85,7 @@ SQL_CHECKED = [
     "search_snippets",
     "dedup_simhash",
     "ann_ivf",
+    "kmeans_embed",
 ]
 
 

@@ -637,6 +637,26 @@ def _emb_ds(sf_dir: str):
     return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
 
+def q_kmeans_embed(sf_dir: str) -> pd.DataFrame:
+    """Distributed k-means (k=10, 5 fixed Lloyd's iterations, deterministic
+    min-id init) over the embeddings table; output = (vec_id, cluster).
+    Iterative state is not SQL-expressible -> pinned-golden oracle (the
+    algorithm's semantics — monotone inertia, planted-blob recovery — are
+    pytest-pinned in tests/test_functions.py)."""
+    import ray.data
+
+    from ..functions.clustering import kmeans_assign, kmeans_fit
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    centroids, _hist = kmeans_fit(ds, k=10, iters=5)
+    out = kmeans_assign(ds, centroids).to_pandas()
+    return out.astype({"vec_id": np.int64, "cluster": np.int64}).sort_values(
+        "vec_id"
+    ).reset_index(drop=True)
+
+
 def q_dedup_embedding(sf_dir: str) -> pd.DataFrame:
     """Same-label cosine >= 0.4 pairs (label is the blocking key).
 

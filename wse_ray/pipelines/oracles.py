@@ -744,6 +744,18 @@ FROM (VALUES {ANN_IVF_GOLDEN_SF001}) AS t(query_id, rank, vec_id, cosine)
 ORDER BY query_id, rank"""
 
 
+def sql_kmeans_embed() -> str:
+    from .goldens import KMEANS_GOLDEN_SF001
+
+    # pinned-golden oracle: iterative Lloyd's state is not SQL-expressible
+    # (the pin gates init/iteration determinism; monotone inertia and
+    # planted-blob recovery are pytest-pinned)
+    return f"""
+SELECT vec_id::BIGINT AS vec_id, cluster::BIGINT AS cluster
+FROM (VALUES {KMEANS_GOLDEN_SF001}) AS t(vec_id, cluster)
+ORDER BY vec_id"""
+
+
 def oracle_sql_map() -> dict[str, str]:
     return {
         "postings": sql_postings(),
@@ -758,6 +770,7 @@ def oracle_sql_map() -> dict[str, str]:
         "search_snippets": sql_search_snippets(),
         "dedup_simhash": sql_dedup_simhash(),
         "ann_ivf": sql_ann_ivf(),
+        "kmeans_embed": sql_kmeans_embed(),
         "token_counts": sql_token_counts(),
         "doc_quality": sql_doc_quality(),
         "fingerprint_md5": sql_fingerprint_md5(),
