@@ -64,6 +64,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_normalized": eq.q_dedup_normalized,
         # deterministic content-hash sampling (stateless, resume-stable)
         "sample_docs": eq.q_sample_docs,
+        # per-source mixture rebalance (broadcast thresholds, no shuffle)
+        "rebalance_sources": eq.q_rebalance_sources,
+        # concat-and-chunk sequence packing (row-group token prefix sum)
+        "pack_windows": eq.q_pack_windows,
         # benchmark decontamination: word-5-gram overlap vs a held-out slice
         # (broadcast bench gram-hash set, shuffle-free corpus probe)
         "decontam": eq.q_decontam,

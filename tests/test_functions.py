@@ -641,3 +641,74 @@ def test_kmeans_planted_blobs(ray_session):
     ).sum() / len(m)
     assert purity == 1.0, purity
     assert m.groupby("cluster")["truth"].nunique().max() == 1
+
+
+def test_rebalance_sources_skewed(ray_session):
+    """Skewed mixture: the big source downsamples toward its target, the
+    small source (already under target) keeps everything; explicit weights
+    steer the per-source targets."""
+    import pandas as pd
+    import ray.data
+    from wse_ray.functions.sampling import rebalance_sources
+
+    rows = [{"doc_id": i, "source": "big", "text": f"big doc {i}"} for i in range(400)]
+    rows += [{"doc_id": 1000 + i, "source": "small", "text": f"small doc {i}"} for i in range(20)]
+    ds = ray.data.from_pandas(pd.DataFrame(rows)).repartition(4)
+
+    out = rebalance_sources(ds, total=200).to_pandas()
+    by = out.groupby("source").size()
+    assert by["small"] == 20  # under its 100-target -> keep-all
+    assert 60 <= by["big"] <= 140  # hash-binomial around the 100-target
+
+    # weights: starve 'big' (10% of 200 = 20-target), boost 'small'
+    w = {"big": 0.1, "small": 0.9}
+    outw = rebalance_sources(ds, total=200, weights=w).to_pandas()
+    byw = outw.groupby("source").size()
+    assert byw["small"] == 20
+    assert byw["big"] < by["big"]
+    # determinism: identical rerun
+    out2 = rebalance_sources(ds, total=200).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("doc_id").reset_index(drop=True),
+        out2.sort_values("doc_id").reset_index(drop=True),
+    )
+
+
+def test_pack_windows_multifile(ray_session):
+    """Packing invariants over a 3-file corpus with an empty doc: global
+    offsets are a contiguous prefix sum across files, window indices match
+    direct arithmetic, and a rerun is identical."""
+    import os
+    import tempfile
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from wse_ray.functions.packing import pack_windows
+
+    tmp = tempfile.mkdtemp(prefix="packtest_")
+    texts, did = [], 0
+    paths = []
+    rng = np.random.default_rng(3)
+    for f in range(3):
+        rows = []
+        for _ in range(40):
+            ntok = int(rng.integers(0, 30))  # includes empty docs
+            rows.append({"doc_id": did, "text": " ".join(["w"] * ntok)})
+            did += 1
+        p = os.path.join(tmp, f"part{f}.parquet")
+        pq.write_table(pa.Table.from_pandas(pd.DataFrame(rows)), p, row_group_size=16)
+        paths.append(p)
+        texts.extend(r["text"] for r in rows)
+
+    W = 16
+    out = pack_windows(paths, window=W).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    ntok = np.array([len(t.split()) if t else 0 for t in texts])
+    start = np.concatenate(([0], np.cumsum(ntok)[:-1]))
+    assert (out["tok_start"].to_numpy() == start).all()
+    assert (out["n_tokens"].to_numpy() == ntok).all()
+    assert (out["win_start"].to_numpy() == start // W).all()
+    last = np.where(ntok > 0, start + ntok - 1, start)
+    assert (out["win_end"].to_numpy() == last // W).all()
+    out2 = pack_windows(paths, window=W).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, out2)

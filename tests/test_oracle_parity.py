@@ -59,6 +59,8 @@ SQL_CHECKED = [
     "repetition_stats",
     "pii_scrub",
     "sample_docs",
+    "rebalance_sources",
+    "pack_windows",
     "docs_per_source_cap",
     "dedup_minhash",
     "dedup_ngram",

@@ -39,6 +39,63 @@ def hash_sample(ds, keep_of_65536: int, text_col: str = "text"):
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def source_counts(ds, key_col: str = "source") -> pd.DataFrame:
+    """(key, n) per source — map-side value_counts partials summed on the
+    driver (source-cardinality-sized, never row-sized; no shuffle)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = pd.Series(t[key_col].to_pylist()).value_counts()
+        return pa.table(
+            {key_col: pa.array(vc.index.astype(str)), "n": pa.array(vc.to_numpy())}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return parts.groupby(key_col, as_index=False)["n"].sum()
+
+
+def rebalance_sources(
+    ds, total: int, key_col: str = "source", text_col: str = "text",
+    weights: dict[str, float] | None = None,
+):
+    """Mixture rebalancing: downsample each source toward a target of
+    ``total * w_s`` docs (uniform weights by default) with the same
+    content-hash threshold rule as ``hash_sample`` — deterministic,
+    rerun-stable, and dup-coherent per source.
+
+    Two passes: a source-cardinality-sized count (broadcast via ``ray.put``,
+    read once per task), then a stateless filter — no shuffle of data rows.
+    Sources already at/below target keep everything.  SQL parity: threshold
+    hex = printf('%04x', floor(65536 * least(1.0, target/n))).
+    """
+    import ray
+
+    counts = source_counts(ds, key_col)
+    nsrc = len(counts)
+    th: dict[str, str | None] = {}
+    for _, row in counts.iterrows():
+        # default path divides total/nsrc FIRST (same op order as the SQL
+        # oracle, so the float threshold is bit-identical)
+        target = (
+            total * weights[row[key_col]] if weights else total / nsrc
+        )
+        rate = min(1.0, target / row["n"])
+        # None = keep-all (avoids the 5-hex-char '10000' string-compare trap)
+        th[row[key_col]] = None if rate >= 1.0 else format(int(65536 * rate), "04x")
+    tref = ray.put(th)
+
+    def keep(t: pa.Table) -> pa.Table:
+        thr = ray.get(tref)
+        keys = t[key_col].to_pylist()
+        pref = _md5_prefix4(t[text_col].to_pylist())
+        mask = [
+            thr.get(s) is None or p < thr[s] for s, p in zip(keys, pref)
+        ]
+        out = t.filter(pa.array(mask))
+        return out.select(["doc_id", key_col])
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def cap_per_key(ds, key_col: str, order_col: str, k: int):
     """At most ``k`` rows per key, keeping the smallest ``order_col``
     values (ties impossible for unique ids) — the per-domain document cap.

@@ -535,6 +535,36 @@ def q_dedup_normalized(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+def q_pack_windows(sf_dir: str) -> pd.DataFrame:
+    """Concat-and-chunk sequence packing into 256-token context windows:
+    per doc, its global token offset and first/last window index."""
+    from ..functions.packing import pack_windows
+
+    out = pack_windows(
+        [os.path.join(sf_dir, "documents.parquet")], window=256
+    ).to_pandas()
+    return out.astype(
+        {c: np.int64 for c in ["doc_id", "tok_start", "n_tokens", "win_start", "win_end"]}
+    ).sort_values("doc_id").reset_index(drop=True)
+
+
+def q_rebalance_sources(sf_dir: str) -> pd.DataFrame:
+    """Mixture rebalancing to a 200-doc uniform target across sources —
+    per-source content-hash-threshold downsample (no shuffle)."""
+    import ray.data
+
+    from ..functions.sampling import rebalance_sources
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "text"],
+    )
+    out = rebalance_sources(ds, total=200).to_pandas()
+    return out.astype({"doc_id": np.int64}).sort_values("doc_id").reset_index(
+        drop=True
+    )
+
+
 def q_sample_docs(sf_dir: str) -> pd.DataFrame:
     """Deterministic ~12.5% content-hash sample (md5 hex prefix < 0x2000) —
     stateless filter, no shuffle, rerun/resume stable."""

@@ -386,6 +386,42 @@ WHERE substr(md5(text), 1, 4) < '2000'
 ORDER BY doc_id"""
 
 
+def sql_pack_windows() -> str:
+    # global token prefix sum in doc_id order (== the row-group corpus
+    # order of the testdata files), then integer window arithmetic
+    return """
+WITH toks AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n,
+         coalesce(sum(n) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS s
+  FROM toks
+)
+SELECT doc_id, s AS tok_start, n AS n_tokens,
+       (s // 256)::BIGINT AS win_start,
+       (CASE WHEN n > 0 THEN (s + n - 1) // 256 ELSE s // 256 END)::BIGINT AS win_end
+FROM c ORDER BY doc_id"""
+
+
+def sql_rebalance_sources() -> str:
+    # same op order as rebalance_sources: (total/nsrc) first, then /n,
+    # floor to a 16-bit hex threshold on md5(text)
+    return """
+WITH n AS (SELECT source, count(*)::DOUBLE AS n FROM documents GROUP BY 1),
+ns AS (SELECT count(*)::DOUBLE AS k FROM n),
+r AS (SELECT source, n, least(1.0, (200.0 / k) / n) AS rate FROM n, ns)
+SELECT d.doc_id, d.source
+FROM documents d JOIN r USING (source)
+WHERE r.rate >= 1.0
+   OR substr(md5(d.text), 1, 4)
+      < printf('%04x', CAST(floor(65536 * r.rate) AS INT))
+ORDER BY d.doc_id"""
+
+
 def sql_docs_per_source_cap() -> str:
     return """
 SELECT doc_id, source FROM (
@@ -782,6 +818,8 @@ def oracle_sql_map() -> dict[str, str]:
         "top_bigrams": sql_top_bigrams(),
         "doc_keywords": sql_doc_keywords(),
         "sample_docs": sql_sample_docs(),
+        "rebalance_sources": sql_rebalance_sources(),
+        "pack_windows": sql_pack_windows(),
         "docs_per_source_cap": sql_docs_per_source_cap(),
         "dedup_minhash": sql_dedup_minhash(),
         "dedup_ngram": sql_dedup_minhash(),  # exact-Jaccard ground truth, shared
