@@ -57,6 +57,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": eq.q_repetition_stats,
         # PII counts + redacted-text md5 (RE2 kernels, shared patterns)
         "pii_scrub": eq.q_pii_scrub,
+        # corpus-unigram LM mean token log-prob (broadcast model, 2 passes)
+        "lm_score": eq.q_lm_score,
         "fingerprint_md5": eq.q_fingerprint_md5,
         # dedup / similarity
         "dedup_exact": eq.q_dedup_exact,

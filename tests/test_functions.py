@@ -712,3 +712,20 @@ def test_pack_windows_multifile(ray_session):
     assert (out["win_end"].to_numpy() == last // W).all()
     out2 = pack_windows(paths, window=W).to_pandas().sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_unigram_lm_score_hand_values(ray_session):
+    """Hand-computed corpus-unigram mean log-probs."""
+    import math
+
+    import pandas as pd
+    import ray.data
+    from wse_ray.functions.textstats import unigram_lm_score
+
+    # unigrams: a:2 b:2 c:1 (total 5)
+    rows = [{"doc_id": 1, "text": "a a b"}, {"doc_id": 2, "text": "b c"}]
+    ds = ray.data.from_pandas(pd.DataFrame(rows)).repartition(2)
+    out = unigram_lm_score(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    want1 = round(math.log(2 / 5), 6)
+    want2 = round((math.log(2 / 5) + math.log(1 / 5)) / 2, 6)
+    assert out["lm_logprob"].tolist() == [want1, want2]

@@ -58,6 +58,7 @@ SQL_CHECKED = [
     "decontam",
     "repetition_stats",
     "pii_scrub",
+    "lm_score",
     "sample_docs",
     "rebalance_sources",
     "pack_windows",

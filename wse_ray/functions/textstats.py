@@ -100,6 +100,64 @@ def quality_score(batch: pa.Table) -> pa.Table:
     )
 
 
+def unigram_lm_score(ds):
+    """CCNet-style quality signal: per-doc mean token log-probability under
+    the corpus's own unigram LM — (doc_id, lm_logprob).
+
+    Two passes.  Pass 1 reduces to the GLOBAL unigram table with per-batch
+    (term, tf) partials -> small groupby (vocab-sized rows, never
+    corpus-sized).  The model broadcasts once via ``ray.put`` (natural-
+    language vocab is ~10M terms * 8 B ≈ 100 MB — fine to broadcast; at a
+    larger vocab, cap to top-M with a floor probability).  Pass 2 is a
+    stateless vectorized score: one ``pc.index_in`` probe + a segment sum
+    per batch.  Every term is in-vocab by construction (model built from
+    the same corpus)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        terms, tfs, off, _dl = _flat_tf(batch)
+        pdf = pd.DataFrame(
+            {"term": terms.to_numpy(zero_copy_only=False), "tf": tfs}
+        )
+        g = pdf.groupby("term", sort=False)["tf"].sum().reset_index()
+        return pa.table(
+            {
+                "term": pa.array([t.decode() for t in g["term"]], pa.string()),
+                "cf_p": pa.array(g["tf"].to_numpy(np.int64)),
+            }
+        )
+
+    glob = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("cf_p", alias_name="cf"))
+        .to_pandas()
+    )
+    cf = glob["cf"].to_numpy(np.float64)
+    logp = np.log(cf / cf.sum())
+    vocab = pa.array([t.encode() for t in glob["term"]], pa.large_binary())
+    mref = ray.put((vocab, logp))
+
+    def score(batch: pa.Table) -> pa.Table:
+        voc, lp = ray.get(mref)
+        terms, tfs, off, _dl = _flat_tf(batch)
+        idx = pc.index_in(terms, value_set=voc).to_numpy(zero_copy_only=False)
+        tok_lp = lp[idx] * tfs
+        n = np.maximum(_segsum(tfs, off).astype(np.float64), 1.0)
+        lsum = np.zeros(len(off) - 1)
+        csum = np.concatenate(([0.0], np.cumsum(tok_lp)))
+        lsum = csum[off[1:]] - csum[off[:-1]]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lm_logprob": pa.array(np.round(lsum / n, 6)),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def _per_doc_runs(h: np.ndarray, off: np.ndarray):
     """Per-doc (max duplicate-run count, distinct count) over flat doc-major
     hashes — one lexsort, no per-doc loops."""

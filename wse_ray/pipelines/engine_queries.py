@@ -480,6 +480,15 @@ def q_lang_id(sf_dir: str) -> pd.DataFrame:
     return out.astype({"doc_id": np.int64}).sort_values("doc_id").reset_index(drop=True)
 
 
+def q_lm_score(sf_dir: str) -> pd.DataFrame:
+    from ..functions.textstats import unigram_lm_score
+
+    out = unigram_lm_score(_docs_ds(sf_dir)).to_pandas()
+    return out.astype({"doc_id": np.int64}).sort_values("doc_id").reset_index(
+        drop=True
+    )
+
+
 def q_repetition_stats(sf_dir: str) -> pd.DataFrame:
     from ..functions.textstats import repetition_stats
 

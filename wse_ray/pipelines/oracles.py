@@ -293,6 +293,17 @@ GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
 ORDER BY doc_id"""
 
 
+def sql_lm_score() -> str:
+    # corpus-unigram LM recomputation; sum order differs from the Ray
+    # side (per-occurrence vs tf-weighted) — identical doubles, 6-dp round
+    return f"""WITH {_TOK},
+ug AS (SELECT term, count(*)::DOUBLE AS c FROM tok GROUP BY term),
+tot AS (SELECT sum(c) AS t FROM ug)
+SELECT tok.doc_id, round(sum(ln(g.c / tot.t)) / count(*), 6) AS lm_logprob
+FROM tok JOIN ug g USING (term), tot
+GROUP BY tok.doc_id ORDER BY tok.doc_id"""
+
+
 def sql_repetition_stats() -> str:
     # Exact string-gram recomputation of the token-n-gram repetition
     # signals (Ray side hashes grams off the Arrow buffers, 1:1 with
@@ -815,6 +826,7 @@ def oracle_sql_map() -> dict[str, str]:
         "decontam": sql_decontam(),
         "repetition_stats": sql_repetition_stats(),
         "pii_scrub": sql_pii_scrub(),
+        "lm_score": sql_lm_score(),
         "top_bigrams": sql_top_bigrams(),
         "doc_keywords": sql_doc_keywords(),
         "sample_docs": sql_sample_docs(),
