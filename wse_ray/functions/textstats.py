@@ -104,48 +104,47 @@ def unigram_lm_score(ds):
     """CCNet-style quality signal: per-doc mean token log-probability under
     the corpus's own unigram LM — (doc_id, lm_logprob).
 
-    Two passes.  Pass 1 reduces to the GLOBAL unigram table with per-batch
-    (term, tf) partials -> small groupby (vocab-sized rows, never
-    corpus-sized).  The model broadcasts once via ``ray.put`` (natural-
-    language vocab is ~10M terms * 8 B ≈ 100 MB — fine to broadcast; at a
-    larger vocab, cap to top-M with a floor probability).  Pass 2 is a
-    stateless vectorized score: one ``pc.index_in`` probe + a segment sum
-    per batch.  Every term is in-vocab by construction (model built from
-    the same corpus)."""
+    Two passes, both keyed by 64-bit content hashes of the terms (1:1 with
+    strings modulo collisions — the repo-wide contract), so no per-term
+    Python objects anywhere.  Pass 1: per-batch dictionary_encode +
+    bincount -> (hash, cf) partials (vocab-sized per batch, batch_size
+    8192 to amortize vocab saturation); the driver reduces them with one
+    numpy sort+reduceat — O(batches x vocab) rows, never corpus-sized.
+    The model broadcasts once via ``ray.put`` (~16 B/term).  Pass 2 is a
+    stateless vectorized score: one searchsorted probe + a segment sum per
+    batch.  Every term is in-vocab by construction (model built from the
+    same corpus).  For corpora whose batches x vocab outgrows the driver,
+    swap the reduce for the index builder's storage-shuffled term exchange
+    (`wse_ray/index/build.py`) — the probe side is unchanged."""
     import ray
-    from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        terms, tfs, off, _dl = _flat_tf(batch)
-        pdf = pd.DataFrame(
-            {"term": terms.to_numpy(zero_copy_only=False), "tf": tfs}
-        )
-        g = pdf.groupby("term", sort=False)["tf"].sum().reset_index()
-        return pa.table(
-            {
-                "term": pa.array([t.decode() for t in g["term"]], pa.string()),
-                "cf_p": pa.array(g["tf"].to_numpy(np.int64)),
-            }
-        )
+        terms, tfs, _off, _dl = _flat_tf(batch)
+        denc = terms.dictionary_encode()
+        idx = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        cf = np.bincount(idx, weights=tfs).astype(np.int64)
+        h = content_hash64(denc.dictionary)
+        return pa.table({"h": pa.array(h), "cf_p": pa.array(cf)})
 
-    glob = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("term")
-        .aggregate(Sum("cf_p", alias_name="cf"))
-        .to_pandas()
-    )
-    cf = glob["cf"].to_numpy(np.float64)
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=8192
+    ).to_pandas()
+    ph = parts["h"].to_numpy(np.uint64)
+    pcf = parts["cf_p"].to_numpy(np.int64)
+    order = np.argsort(ph, kind="stable")
+    ph, pcf = ph[order], pcf[order]
+    first = np.concatenate(([True], ph[1:] != ph[:-1]))
+    vocab_h = ph[first]
+    cf = np.add.reduceat(pcf, np.flatnonzero(first)).astype(np.float64)
     logp = np.log(cf / cf.sum())
-    vocab = pa.array([t.encode() for t in glob["term"]], pa.large_binary())
-    mref = ray.put((vocab, logp))
+    mref = ray.put((vocab_h, logp))
 
     def score(batch: pa.Table) -> pa.Table:
         voc, lp = ray.get(mref)
         terms, tfs, off, _dl = _flat_tf(batch)
-        idx = pc.index_in(terms, value_set=voc).to_numpy(zero_copy_only=False)
-        tok_lp = lp[idx] * tfs
+        h = content_hash64(terms)
+        tok_lp = lp[np.searchsorted(voc, h)] * tfs
         n = np.maximum(_segsum(tfs, off).astype(np.float64), 1.0)
-        lsum = np.zeros(len(off) - 1)
         csum = np.concatenate(([0.0], np.cumsum(tok_lp)))
         lsum = csum[off[1:]] - csum[off[:-1]]
         return pa.table(
