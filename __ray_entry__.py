@@ -91,6 +91,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distributed k-means over embeddings (broadcast centroids, map-side
         # partial sums; iterative -> pinned-golden oracle)
         "kmeans_embed": eq.q_kmeans_embed,
+        # cosine-to-global-centroid semantic-outlier signal
+        "embedding_centroid": eq.q_embedding_centroid,
         "multimodal_meta": eq.q_multimodal_meta,
         # hw1 crawler over a local deterministic page store (no network);
         # iterative frontier state is not SQL-expressible -> rows-only gate

@@ -729,3 +729,27 @@ def test_unigram_lm_score_hand_values(ray_session):
     want1 = round(math.log(2 / 5), 6)
     want2 = round((math.log(2 / 5) + math.log(1 / 5)) / 2, 6)
     assert out["lm_logprob"].tolist() == [want1, want2]
+
+
+def test_centroid_cosine_outlier(ray_session):
+    """A planted far-off vector scores lowest; tight cluster scores ~1."""
+    import pandas as pd
+    import ray.data
+    from wse_ray.functions.clustering import centroid_cosine
+
+    rng = np.random.default_rng(5)
+    base = np.ones(8) * 10.0
+    vecs = [base + rng.normal(scale=0.1, size=8) for _ in range(50)]
+    vecs.append(-base)  # antipodal outlier
+    df = pd.DataFrame(
+        {"vec_id": np.arange(51), "embedding": [v.astype(np.float32) for v in vecs]}
+    )
+    out = (
+        centroid_cosine(ray.data.from_pandas(df).repartition(3))
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert out["cos_centroid"].idxmin() == 50
+    assert out["cos_centroid"][:50].min() > 0.99
+    assert out["cos_centroid"][50] < -0.9

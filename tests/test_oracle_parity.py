@@ -69,6 +69,7 @@ SQL_CHECKED = [
     "lang_id",
     "multimodal_meta",
     "dedup_embedding",
+    "embedding_centroid",
     "ann_topk",
     "pricing_summary",
     "revenue_by_nation",

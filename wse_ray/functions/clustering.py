@@ -93,6 +93,41 @@ def kmeans_fit(
     return C, history
 
 
+def centroid_cosine(ds, id_col: str = "vec_id"):
+    """Semantic-outlier signal: cosine of every embedding to the GLOBAL
+    mean vector — low scores flag off-distribution rows for curation
+    review.  Pass 1 reduces per-batch (sum-vector, count) partials (one
+    d-sized row per batch) to the mean on the driver; pass 2 broadcasts
+    the mean and scores statelessly.  Returns (id, cos_centroid, 6 dp)."""
+    import ray
+
+    def partial(t: pa.Table) -> pa.Table:
+        X = _stack(t["embedding"])
+        return pa.table(
+            {
+                "s": pa.array([X.sum(0)], pa.list_(pa.float64())),
+                "n": pa.array([len(X)]),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    mean = np.stack(parts["s"].to_numpy()).sum(0) / parts["n"].sum()
+    mref = ray.put(mean)
+
+    def score(t: pa.Table) -> pa.Table:
+        m = ray.get(mref)
+        X = _stack(t["embedding"])
+        cos = (X @ m) / (np.linalg.norm(X, axis=1) * np.linalg.norm(m))
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "cos_centroid": pa.array(np.round(cos, 6)),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def kmeans_assign(ds, centroids: np.ndarray, id_col: str = "vec_id"):
     """(id, cluster) assignment under fixed centroids — stateless stream."""
     import ray

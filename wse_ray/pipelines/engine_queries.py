@@ -696,6 +696,22 @@ def q_kmeans_embed(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+def q_embedding_centroid(sf_dir: str) -> pd.DataFrame:
+    """Per-vector cosine to the global mean embedding (semantic-outlier
+    signal) — broadcast mean, stateless score."""
+    import ray.data
+
+    from ..functions.clustering import centroid_cosine
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    out = centroid_cosine(ds).to_pandas()
+    return out.astype({"vec_id": np.int64}).sort_values("vec_id").reset_index(
+        drop=True
+    )
+
+
 def q_dedup_embedding(sf_dir: str) -> pd.DataFrame:
     """Same-label cosine >= 0.4 pairs (label is the blocking key).
 

@@ -791,6 +791,23 @@ FROM (VALUES {ANN_IVF_GOLDEN_SF001}) AS t(query_id, rank, vec_id, cosine)
 ORDER BY query_id, rank"""
 
 
+def sql_embedding_centroid() -> str:
+    # exact recomputation: per-dimension mean, then cosine per vector
+    return """
+WITH d AS (
+  SELECT vec_id, i, embedding[i]::DOUBLE AS x
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+),
+c AS (SELECT i, avg(x) AS m FROM d GROUP BY i),
+nm AS (SELECT sqrt(sum(m * m)) AS n FROM c),
+dot AS (
+  SELECT vec_id, sum(x * m) AS xy, sqrt(sum(x * x)) AS nx
+  FROM d JOIN c USING (i) GROUP BY vec_id
+)
+SELECT vec_id, round(xy / (nx * nm.n), 6) AS cos_centroid
+FROM dot, nm ORDER BY vec_id"""
+
+
 def sql_kmeans_embed() -> str:
     from .goldens import KMEANS_GOLDEN_SF001
 
@@ -818,6 +835,7 @@ def oracle_sql_map() -> dict[str, str]:
         "dedup_simhash": sql_dedup_simhash(),
         "ann_ivf": sql_ann_ivf(),
         "kmeans_embed": sql_kmeans_embed(),
+        "embedding_centroid": sql_embedding_centroid(),
         "token_counts": sql_token_counts(),
         "doc_quality": sql_doc_quality(),
         "fingerprint_md5": sql_fingerprint_md5(),
