@@ -70,6 +70,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rebalance_sources": eq.q_rebalance_sources,
         # concat-and-chunk sequence packing (row-group token prefix sum)
         "pack_windows": eq.q_pack_windows,
+        # deterministic seeded epoch-order shuffle (range-partitioned sort)
+        "training_shuffle": eq.q_training_shuffle,
         # benchmark decontamination: word-5-gram overlap vs a held-out slice
         # (broadcast bench gram-hash set, shuffle-free corpus probe)
         "decontam": eq.q_decontam,

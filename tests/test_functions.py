@@ -753,3 +753,21 @@ def test_centroid_cosine_outlier(ray_session):
     assert out["cos_centroid"].idxmin() == 50
     assert out["cos_centroid"][:50].min() > 0.99
     assert out["cos_centroid"][50] < -0.9
+
+
+def test_training_shuffle_permutation(ray_session):
+    """Seeded shuffle is a full permutation, deterministic across reruns,
+    and different seeds give different orders."""
+    import pandas as pd
+    import ray.data
+    from wse_ray.functions.sampling import training_shuffle
+
+    df = pd.DataFrame({"doc_id": np.arange(300)})
+    ds = ray.data.from_pandas(df).repartition(4)
+    a = training_shuffle(ds, seed=1).to_pandas()
+    assert sorted(a["doc_id"]) == list(range(300))  # permutation, no loss
+    assert not (a["doc_id"].to_numpy() == np.arange(300)).all()  # shuffled
+    b = training_shuffle(ds, seed=1).to_pandas()
+    assert (a["doc_id"].to_numpy() == b["doc_id"].to_numpy()).all()
+    c = training_shuffle(ds, seed=2).to_pandas()
+    assert not (a["doc_id"].to_numpy() == c["doc_id"].to_numpy()).all()

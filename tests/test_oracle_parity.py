@@ -62,6 +62,7 @@ SQL_CHECKED = [
     "sample_docs",
     "rebalance_sources",
     "pack_windows",
+    "training_shuffle",
     "docs_per_source_cap",
     "dedup_minhash",
     "dedup_ngram",

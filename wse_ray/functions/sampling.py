@@ -96,6 +96,26 @@ def rebalance_sources(
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def training_shuffle(ds, seed: int, id_col: str = "doc_id"):
+    """Deterministic global training-order shuffle: every row gets the key
+    ``md5(id:seed)`` and the dataset is range-partition SORTED by it — a
+    seeded permutation that is identical across reruns/resumes (unlike
+    ``random_shuffle``).  This is the one operator where an all-to-all
+    exchange is the point: a global order permutation cannot be computed
+    partition-locally.  Consume as a stream (``iter_batches`` /
+    ``write_parquet``) — rank is implicit in the output order.  Epoch N =
+    seed N: re-keying re-shuffles without re-reading anything else."""
+
+    def key(t: pa.Table) -> pa.Table:
+        ks = [
+            hashlib.md5(f"{i}:{seed}".encode()).hexdigest()
+            for i in t[id_col].to_pylist()
+        ]
+        return t.append_column("shuffle_key", pa.array(ks))
+
+    return ds.map_batches(key, batch_format="pyarrow").sort("shuffle_key")
+
+
 def cap_per_key(ds, key_col: str, order_col: str, k: int):
     """At most ``k`` rows per key, keeping the smallest ``order_col``
     values (ties impossible for unique ids) — the per-domain document cap.

@@ -574,6 +574,21 @@ def q_rebalance_sources(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_training_shuffle(sf_dir: str) -> pd.DataFrame:
+    """First 100 docs of the seed-42 deterministic global shuffle (the
+    epoch-order permutation); rank is the position in the sorted stream."""
+    import ray.data
+
+    from ..functions.sampling import training_shuffle
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    head = training_shuffle(ds, seed=42).limit(100).to_pandas()
+    head["rank"] = np.arange(len(head), dtype=np.int64)
+    return head[["rank", "doc_id"]].astype({"doc_id": np.int64})
+
+
 def q_sample_docs(sf_dir: str) -> pd.DataFrame:
     """Deterministic ~12.5% content-hash sample (md5 hex prefix < 0x2000) —
     stateless filter, no shuffle, rerun/resume stable."""

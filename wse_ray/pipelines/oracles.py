@@ -418,6 +418,13 @@ SELECT doc_id, s AS tok_start, n AS n_tokens,
 FROM c ORDER BY doc_id"""
 
 
+def sql_training_shuffle() -> str:
+    return """
+SELECT row_number() OVER (ORDER BY md5(doc_id || ':42')) - 1 AS rank, doc_id
+FROM documents
+ORDER BY rank LIMIT 100"""
+
+
 def sql_rebalance_sources() -> str:
     # same op order as rebalance_sources: (total/nsrc) first, then /n,
     # floor to a 16-bit hex threshold on md5(text)
@@ -850,6 +857,7 @@ def oracle_sql_map() -> dict[str, str]:
         "sample_docs": sql_sample_docs(),
         "rebalance_sources": sql_rebalance_sources(),
         "pack_windows": sql_pack_windows(),
+        "training_shuffle": sql_training_shuffle(),
         "docs_per_source_cap": sql_docs_per_source_cap(),
         "dedup_minhash": sql_dedup_minhash(),
         "dedup_ngram": sql_dedup_minhash(),  # exact-Jaccard ground truth, shared
