@@ -120,6 +120,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_users": rel.q_top_users,
         "sessionize": rel.q_sessionize,
         "distinct_users_daily": rel.q_distinct_users_daily,
+        # HyperLogLog bounded-state approx distinct (pinned-golden oracle)
+        "hll_users_daily": eq.q_hll_users_daily,
         "customers_without_orders": rel.q_customers_without_orders,
     }
 

@@ -771,3 +771,26 @@ def test_training_shuffle_permutation(ray_session):
     assert (a["doc_id"].to_numpy() == b["doc_id"].to_numpy()).all()
     c = training_shuffle(ds, seed=2).to_pandas()
     assert not (a["doc_id"].to_numpy() == c["doc_id"].to_numpy()).all()
+
+
+def test_hll_error_bound_and_merge_independence(ray_session):
+    """HLL estimates stay within ~3 standard errors of exact (p=12 ->
+    1.04/sqrt(4096) ~ 1.6%), and the result is identical under different
+    partitionings (max-merge is order/partition independent)."""
+    import pandas as pd
+    import ray.data
+    from wse_ray.functions.sketches import hll_distinct_daily
+
+    rng = np.random.default_rng(13)
+    n = 120_000
+    ts = np.datetime64("2024-03-01") + rng.integers(0, 3, n).astype("timedelta64[D]")
+    uid = rng.integers(0, 40_000, n)
+    df = pd.DataFrame({"ts": pd.to_datetime(ts), "user_id": uid})
+    exact = df.groupby(df["ts"].dt.floor("D"))["user_id"].nunique()
+
+    est1 = hll_distinct_daily(ray.data.from_pandas(df).repartition(2), p=12)
+    est8 = hll_distinct_daily(ray.data.from_pandas(df).repartition(8), p=12)
+    pd.testing.assert_frame_equal(est1, est8)  # partitioning-independent
+    for _, row in est1.iterrows():
+        ex = exact[pd.Timestamp(row["day"])]
+        assert abs(row["n_users_approx"] - ex) / ex < 0.05, (row, ex)

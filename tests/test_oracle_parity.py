@@ -91,6 +91,7 @@ SQL_CHECKED = [
     "dedup_simhash",
     "ann_ivf",
     "kmeans_embed",
+    "hll_users_daily",
 ]
 
 

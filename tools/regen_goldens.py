@@ -45,6 +45,7 @@ def main():
         ("SIMHASH_GOLDEN_SF001", eq.q_dedup_simhash),
         ("ANN_IVF_GOLDEN_SF001", eq.q_ann_ivf),
         ("KMEANS_GOLDEN_SF001", eq.q_kmeans_embed),
+        ("HLL_GOLDEN_SF001", eq.q_hll_users_daily),
     ]
     out_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..", "wse_ray", "pipelines", "goldens.py"

@@ -154,3 +154,91 @@ def histogram_quantiles(
         idx = int(np.searchsorted(cum, r))
         rows.append((key, q, int(g["bin"].to_numpy()[idx]) / scale))
     return pd.DataFrame(rows, columns=[key_col, "q", "quantile"])
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog approximate count-distinct
+# ---------------------------------------------------------------------------
+
+def _bitlen_u64(x: np.ndarray) -> np.ndarray:
+    """Exact vectorized bit length of uint64 values (6-step binary search —
+    no float rounding, unlike log2 on ints > 2^53)."""
+    x = x.copy()
+    bl = np.zeros(len(x), dtype=np.int64)
+    for shift in (32, 16, 8, 4, 2, 1):
+        big = (x >> np.uint64(shift)) != 0
+        bl[big] += shift
+        x[big] >>= np.uint64(shift)
+    bl[x != 0] += 1
+    return bl
+
+
+def hll_registers(keys: np.ndarray, hashes: np.ndarray, uniq_keys: np.ndarray,
+                  p: int = 12) -> np.ndarray:
+    """(len(uniq_keys), 2^p) uint8 register matrix for one batch.  Standard
+    HLL (Flajolet et al.): top p hash bits pick the register, the rank is
+    leading-zeros-plus-one of the remaining q = 64-p bits."""
+    q = 64 - p
+    m = 1 << p
+    idx = (hashes >> np.uint64(q)).astype(np.int64)
+    w = hashes & np.uint64((1 << q) - 1)
+    rank = (q - _bitlen_u64(w) + 1).astype(np.uint8)
+    krow = np.searchsorted(uniq_keys, keys)
+    regs = np.zeros((len(uniq_keys), m), dtype=np.uint8)
+    np.maximum.at(regs, (krow, idx), rank)
+    return regs
+
+
+def hll_estimate(regs: np.ndarray, p: int = 12) -> np.ndarray:
+    """Bias-corrected cardinality estimates, one per register row (with the
+    small-range linear-counting switch)."""
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)), axis=1)
+    zeros = (regs == 0).sum(axis=1)
+    small = (est <= 2.5 * m) & (zeros > 0)
+    with np.errstate(divide="ignore"):
+        lc = m * np.log(m / np.maximum(zeros, 1))
+    return np.where(small, lc, est)
+
+
+def hll_distinct_daily(ds, p: int = 12):
+    """Approximate distinct user_id per day over the events table —
+    bounded-state alternative to the exact bucketed count: each batch
+    contributes one (day, 2^p-byte register row) partial, merge is
+    elementwise max (associative + commutative + idempotent, so the result
+    is independent of partitioning, retries, and merge order), and
+    driver/shuffle state is days x 2^p bytes TOTAL regardless of row
+    count.  Returns a pandas DataFrame (day, n_users_approx)."""
+    from .joins import _mix64
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[D]")
+        days = ts.astype(np.int64)
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = _mix64(uid.astype(np.uint64))
+        uniq = np.unique(days)
+        regs = hll_registers(days, h, uniq, p)
+        return pa.table(
+            {
+                "day": pa.array(uniq),
+                "regs": pa.array(list(regs), pa.list_(pa.uint8())),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    merged: dict[int, np.ndarray] = {}
+    for day, regs in zip(parts["day"], parts["regs"]):
+        r = np.asarray(regs, dtype=np.uint8)
+        if day in merged:
+            np.maximum(merged[day], r, out=merged[day])
+        else:
+            merged[day] = r.copy()
+    days = sorted(merged)
+    est = hll_estimate(np.stack([merged[d] for d in days]), p)
+    return pd.DataFrame(
+        {
+            "day": np.array(days, dtype="datetime64[D]").astype("datetime64[us]"),
+            "n_users_approx": np.round(est).astype(np.int64),
+        }
+    )

@@ -691,6 +691,26 @@ def _emb_ds(sf_dir: str):
     return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
 
+def q_hll_users_daily(sf_dir: str) -> pd.DataFrame:
+    """HyperLogLog (p=12) approximate distinct users per day — the
+    bounded-state counterpart of distinct_users_daily.  Deterministic and
+    partitioning-independent (max-merge registers), but approximate ->
+    pinned-golden oracle; the error bound vs the exact count is
+    pytest-pinned."""
+    import ray.data
+
+    from ..functions.sketches import hll_distinct_daily
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "user_id"]
+    )
+    out = hll_distinct_daily(ds, p=12)
+    out["day"] = pd.to_datetime(out["day"]).dt.strftime("%Y-%m-%d")
+    return out.astype({"n_users_approx": np.int64}).sort_values("day").reset_index(
+        drop=True
+    )
+
+
 def q_kmeans_embed(sf_dir: str) -> pd.DataFrame:
     """Distributed k-means (k=10, 5 fixed Lloyd's iterations, deterministic
     min-id init) over the embeddings table; output = (vec_id, cluster).

@@ -827,6 +827,17 @@ FROM (VALUES {KMEANS_GOLDEN_SF001}) AS t(vec_id, cluster)
 ORDER BY vec_id"""
 
 
+def sql_hll_users_daily() -> str:
+    from .goldens import HLL_GOLDEN_SF001
+
+    # pinned-golden oracle: the estimate is approximate by design (error
+    # vs exact pinned by pytest); the pin gates hash/register determinism
+    return f"""
+SELECT day::VARCHAR AS day, n_users_approx::BIGINT AS n_users_approx
+FROM (VALUES {HLL_GOLDEN_SF001}) AS t(day, n_users_approx)
+ORDER BY day"""
+
+
 def oracle_sql_map() -> dict[str, str]:
     return {
         "postings": sql_postings(),
@@ -843,6 +854,7 @@ def oracle_sql_map() -> dict[str, str]:
         "ann_ivf": sql_ann_ivf(),
         "kmeans_embed": sql_kmeans_embed(),
         "embedding_centroid": sql_embedding_centroid(),
+        "hll_users_daily": sql_hll_users_daily(),
         "token_counts": sql_token_counts(),
         "doc_quality": sql_doc_quality(),
         "fingerprint_md5": sql_fingerprint_md5(),
