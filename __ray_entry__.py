@@ -51,6 +51,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_snippets": eq.q_search_snippets,  # N1-N6 dispatch (pinned-golden oracle)
         # text analysis
         "token_counts": eq.q_token_counts,
+        # BPE-ish regex pre-token counting (RE2 kernel, shared pattern)
+        "bpe_token_count": eq.q_bpe_token_count,
         "doc_quality": eq.q_doc_quality,
         "lang_id": eq.q_lang_id,
         # Gopher-style token n-gram repetition quality signals

@@ -794,3 +794,33 @@ def test_hll_error_bound_and_merge_independence(ray_session):
     for _, row in est1.iterrows():
         ex = exact[pd.Timestamp(row["day"])]
         assert abs(row["n_users_approx"] - ex) / ex < 0.05, (row, ex)
+
+
+def test_bpe_token_count_punctuation(ray_session):
+    """BPE-ish pre-tokens split letter/digit/punct runs — matches the
+    DuckDB oracle on punctuation-heavy planted text."""
+    import duckdb
+    import pandas as pd
+    import ray.data
+    from wse_ray.functions.textstats import bpe_token_count
+    from wse_ray.pipelines.oracles import sql_bpe_token_count
+
+    rows = [
+        {"doc_id": 1, "text": "hello world"},          # 2
+        {"doc_id": 2, "text": "a1b2!?x"},              # a,1,b,2,!?,x = 6
+        {"doc_id": 3, "text": "don't stop--now 42"},   # don,',t,stop,--,now,42 = 7
+        {"doc_id": 4, "text": ""},                     # 0
+    ]
+    df = pd.DataFrame(rows)
+    got = (
+        ray.data.from_pandas(df)
+        .map_batches(bpe_token_count, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["n_bpe_tokens"].tolist() == [2, 6, 7, 0]
+    con = duckdb.connect()
+    con.register("documents", df)
+    want = con.sql(sql_bpe_token_count()).df()
+    assert got["n_bpe_tokens"].tolist() == want["n_bpe_tokens"].tolist()

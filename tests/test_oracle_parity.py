@@ -51,6 +51,7 @@ SQL_CHECKED = [
     "bm25_sharded",
     "bm25_trec",
     "token_counts",
+    "bpe_token_count",
     "doc_quality",
     "fingerprint_md5",
     "dedup_exact",

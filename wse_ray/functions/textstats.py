@@ -100,6 +100,22 @@ def quality_score(batch: pa.Table) -> pa.Table:
     )
 
 
+# GPT-style pre-tokenizer, RE2-subset (no lookahead): optional-space-
+# prefixed letter runs / digit runs / punctuation runs.  Shared VERBATIM
+# with the DuckDB oracle — both engines are RE2 (leftmost, alternation
+# order respected), so counts match exactly.
+BPE_PRETOKEN_RE = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+
+
+def bpe_token_count(batch: pa.Table) -> pa.Table:
+    """(doc_id, n_bpe_tokens): BPE-ish pre-token count — the training-cost
+    estimator column (whitespace token counts undercount punctuation-heavy
+    text).  One RE2 kernel per batch, no per-row Python."""
+    text = _text_col(batch)
+    n = pc.count_substring_regex(text, BPE_PRETOKEN_RE).cast(pa.int64())
+    return pa.table({"doc_id": batch["doc_id"], "n_bpe_tokens": n})
+
+
 def unigram_lm_score(ds):
     """CCNet-style quality signal: per-doc mean token log-probability under
     the corpus's own unigram LM — (doc_id, lm_logprob).

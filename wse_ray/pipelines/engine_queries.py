@@ -480,6 +480,17 @@ def q_lang_id(sf_dir: str) -> pd.DataFrame:
     return out.astype({"doc_id": np.int64}).sort_values("doc_id").reset_index(drop=True)
 
 
+def q_bpe_token_count(sf_dir: str) -> pd.DataFrame:
+    from ..functions.textstats import bpe_token_count
+
+    out = _docs_ds(sf_dir).map_batches(
+        bpe_token_count, batch_format="pyarrow"
+    ).to_pandas()
+    return out.astype({"doc_id": np.int64, "n_bpe_tokens": np.int64}).sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+
+
 def q_lm_score(sf_dir: str) -> pd.DataFrame:
     from ..functions.textstats import unigram_lm_score
 

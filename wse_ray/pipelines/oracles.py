@@ -293,6 +293,16 @@ GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
 ORDER BY doc_id"""
 
 
+def sql_bpe_token_count() -> str:
+    from ..functions.textstats import BPE_PRETOKEN_RE
+
+    return f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{BPE_PRETOKEN_RE}'))::BIGINT
+         AS n_bpe_tokens
+FROM documents ORDER BY doc_id"""
+
+
 def sql_lm_score() -> str:
     # corpus-unigram LM recomputation; sum order differs from the Ray
     # side (per-occurrence vs tf-weighted) — identical doubles, 6-dp round
@@ -864,6 +874,7 @@ def oracle_sql_map() -> dict[str, str]:
         "repetition_stats": sql_repetition_stats(),
         "pii_scrub": sql_pii_scrub(),
         "lm_score": sql_lm_score(),
+        "bpe_token_count": sql_bpe_token_count(),
         "top_bigrams": sql_top_bigrams(),
         "doc_keywords": sql_doc_keywords(),
         "sample_docs": sql_sample_docs(),
