@@ -158,6 +158,51 @@ def main():
     }
     print(json.dumps(out), flush=True)
 
+    # --- training shuffle: 2M-row distributed sort ------------------------
+    from wse_ray.functions.sampling import training_shuffle
+
+    ids = ray.data.read_parquet(CORPUS, columns=["doc_id"])
+    t0 = time.perf_counter()
+    head = training_shuffle(ids, seed=7).limit(100).to_pandas()
+    sec = time.perf_counter() - t0
+    out["training_shuffle"] = {
+        "sec": round(sec, 1), "docs_per_sec": round(DOCS / sec),
+        "head_ok": bool(head["shuffle_key"].is_monotonic_increasing),
+        "rss_gb_peak": rss_gb(),
+    }
+    print(json.dumps(out), flush=True)
+
+    # --- HLL over 2M synthetic events ------------------------------------
+    from wse_ray.functions.sketches import hll_distinct_daily
+
+    def as_events(t: pa.Table) -> pa.Table:
+        ids2 = t["doc_id"].to_numpy(zero_copy_only=False)
+        ts = (
+            np.datetime64("2024-01-01") + (ids2 % 30).astype("timedelta64[D]")
+        ).astype("datetime64[us]")
+        return pa.table(
+            {"ts": pa.array(ts), "user_id": pa.array(ids2 % 100_000)}
+        )
+
+    ev = ray.data.read_parquet(CORPUS, columns=["doc_id"]).map_batches(
+        as_events, batch_format="pyarrow"
+    )
+    t0 = time.perf_counter()
+    est = hll_distinct_daily(ev, p=12)
+    sec = time.perf_counter() - t0
+    # exact distinct per day = |{u : u = id % 100k, id % 30 = d}| — ids 0..DOCS
+    errs = []
+    for _, row in est.iterrows():
+        d = (np.datetime64(row["day"], "D") - np.datetime64("2024-01-01")).astype(int)
+        exact = len({i % 100_000 for i in range(d, DOCS, 30)})
+        errs.append(abs(row["n_users_approx"] - exact) / exact)
+    out["hll"] = {
+        "sec": round(sec, 1), "rows_per_sec": round(DOCS / sec),
+        "days": len(est), "max_rel_err": round(max(errs), 4),
+        "rss_gb_peak": rss_gb(),
+    }
+    print(json.dumps(out), flush=True)
+
     # --- kmeans on 500k vectors ------------------------------------------
     from wse_ray.functions.clustering import kmeans_assign, kmeans_fit
 
