@@ -666,6 +666,9 @@ def test_rebalance_sources_skewed(ray_session):
     byw = outw.groupby("source").size()
     assert byw["small"] == 20
     assert byw["big"] < by["big"]
+    # sources absent from an explicit weights dict are dropped, not a crash
+    out_only = rebalance_sources(ds, total=200, weights={"small": 1.0}).to_pandas()
+    assert set(out_only["source"]) == {"small"}
     # determinism: identical rerun
     out2 = rebalance_sources(ds, total=200).to_pandas()
     pd.testing.assert_frame_equal(
@@ -722,12 +725,19 @@ def test_unigram_lm_score_hand_values(ray_session):
     import ray.data
     from wse_ray.functions.textstats import unigram_lm_score
 
-    # unigrams: a:2 b:2 c:1 (total 5)
-    rows = [{"doc_id": 1, "text": "a a b"}, {"doc_id": 2, "text": "b c"}]
+    # unigrams: a:2 b:2 c:1 (total 5); the empty doc emits NO row (it has
+    # no LM score — matching the oracle's GROUP BY, and a 0.0 would rank
+    # empty docs as highest quality)
+    rows = [
+        {"doc_id": 1, "text": "a a b"},
+        {"doc_id": 2, "text": "b c"},
+        {"doc_id": 3, "text": ""},
+    ]
     ds = ray.data.from_pandas(pd.DataFrame(rows)).repartition(2)
     out = unigram_lm_score(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
     want1 = round(math.log(2 / 5), 6)
     want2 = round((math.log(2 / 5) + math.log(1 / 5)) / 2, 6)
+    assert out["doc_id"].tolist() == [1, 2]
     assert out["lm_logprob"].tolist() == [want1, want2]
 
 

@@ -13,14 +13,16 @@ data-dependent convergence test) to keep the result deterministic.
 At 100 TB with large k (say 64k x 1024 dims) the per-batch partial is
 ~256 MB, and the right move is to reduce partials with a (cluster-shard)
 ``groupby`` tree instead of the driver — the map side here is unchanged;
-only the reduce would swap.  Determinism note: partials are summed in
-block order (Ray Data preserves it), and the synthetic clusters are
-well-separated, so float summation order cannot flip an assignment.
+only the reduce would swap.  Determinism: embeddings are quantized to
+dyadic rationals (20 fractional bits) before summation, so every partial
+sum is EXACT in float64 (no rounding -> independent of block boundaries
+and summation order) while |sum of a cluster's coordinates| < 2^33 —
+far beyond any real embedding sum; the fit is bit-reproducible under any
+partitioning.
 """
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from .ann import _stack
@@ -55,7 +57,10 @@ def _assign_partial(cref):
         assign = np.argmin(d2, axis=1)
         onehot = np.zeros((len(X), C.shape[0]))
         onehot[np.arange(len(X)), assign] = 1.0
-        sums = onehot.T @ X  # (k, d)
+        # dyadic quantization (2^-20) -> partial sums are exact in float64,
+        # so the reduce is independent of block boundaries / sum order
+        Xq = np.round(X * 1048576.0) / 1048576.0
+        sums = onehot.T @ Xq  # (k, d)
         counts = onehot.sum(0)
         inertia = float(d2[np.arange(len(X)), assign].sum())
         return pa.table(

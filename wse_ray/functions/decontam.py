@@ -4,41 +4,24 @@ pipelines (n-gram overlap against held-out eval sets).
 
 Scale shape: the benchmark side is eval-set sized (thousands of docs), so
 its DISTINCT k-gram hash set broadcasts once via ``ray.put`` and every
-task probes it with one ``np.isin`` against a sorted array — no shuffle
-at all; the corpus streams through a stateless ``map_batches``.  Hashes
-come straight off the Arrow buffers (``shingle_hash_batch``), so the
-k-gram SET is 1:1 with string k-grams modulo 64-bit collisions (same
+task probes it with one ``searchsorted`` against the sorted array — no
+shuffle at all; the corpus streams through a stateless ``map_batches``.
+Hashes come straight off the Arrow buffers (``shingle_hash_batch``), so
+the k-gram SET is 1:1 with string k-grams modulo 64-bit collisions (same
 contract as the MinHash route, `wse_ray/functions/dedup.py`).
 """
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 
 def _doc_kgram_hashes(texts: pa.Array, k: int) -> tuple[np.ndarray, np.ndarray]:
     """(flat k-gram hashes, per-doc offsets); docs with fewer than k tokens
-    emit NO grams (shingle_hash_batch would emit one whole-sequence
-    shingle — masked out here to match string k-gram semantics)."""
-    from ..stages.vectorized_tokenize import (
-        _binary_buffer,
-        _token_spans,
-        shingle_hash_batch,
-    )
+    emit NO grams (strict string k-gram semantics, one tokenize pass)."""
+    from ..stages.vectorized_tokenize import shingle_hash_batch
 
-    hashes, off = shingle_hash_batch(texts, k=k)
-    data, doc_off = _binary_buffer(texts)
-    _, _, doc_idx = _token_spans(data, doc_off, "simple")
-    ntok = np.bincount(doc_idx, minlength=len(doc_off) - 1)
-    short = ntok < k
-    if short.any():
-        nsh = np.diff(off)
-        keep = np.repeat(~short, nsh)
-        hashes = hashes[keep]
-        nsh = np.where(short, 0, nsh)
-        off = np.concatenate(([0], np.cumsum(nsh))).astype(np.int64)
-    return hashes, off
+    return shingle_hash_batch(texts, k=k, strict=True)
 
 
 def benchmark_gram_set(bench_ds, k: int = 8, text_col: str = "text") -> np.ndarray:

@@ -64,8 +64,10 @@ def rebalance_sources(
 
     Two passes: a source-cardinality-sized count (broadcast via ``ray.put``,
     read once per task), then a stateless filter — no shuffle of data rows.
-    Sources already at/below target keep everything.  SQL parity: threshold
-    hex = printf('%04x', floor(65536 * least(1.0, target/n))).
+    Sources already at/below target keep everything.  With an explicit
+    ``weights`` dict, sources absent from it get weight 0 and are DROPPED
+    (the mixture definition is the dict).  SQL parity: threshold hex =
+    printf('%04x', floor(65536 * least(1.0, target/n))).
     """
     import ray
 
@@ -76,7 +78,7 @@ def rebalance_sources(
         # default path divides total/nsrc FIRST (same op order as the SQL
         # oracle, so the float threshold is bit-identical)
         target = (
-            total * weights[row[key_col]] if weights else total / nsrc
+            total * weights.get(row[key_col], 0.0) if weights else total / nsrc
         )
         rate = min(1.0, target / row["n"])
         # None = keep-all (avoids the 5-hex-char '10000' string-compare trap)

@@ -160,13 +160,19 @@ def unigram_lm_score(ds):
         terms, tfs, off, _dl = _flat_tf(batch)
         h = content_hash64(terms)
         tok_lp = lp[np.searchsorted(voc, h)] * tfs
-        n = np.maximum(_segsum(tfs, off).astype(np.float64), 1.0)
+        n = _segsum(tfs, off).astype(np.float64)
         csum = np.concatenate(([0.0], np.cumsum(tok_lp)))
         lsum = csum[off[1:]] - csum[off[:-1]]
+        # zero-token docs have no LM score (same as the SQL GROUP BY,
+        # which emits no row) — a 0.0 here would rank empty docs as the
+        # highest-quality documents in the corpus
+        keep = n > 0
         return pa.table(
             {
-                "doc_id": batch["doc_id"],
-                "lm_logprob": pa.array(np.round(lsum / n, 6)),
+                "doc_id": batch["doc_id"].filter(pa.array(keep)),
+                "lm_logprob": pa.array(
+                    np.round(lsum[keep] / n[keep], 6)
+                ),
             }
         )
 
@@ -204,31 +210,16 @@ def repetition_stats(batch: pa.Table) -> pa.Table:
       occurs elsewhere in the doc, 1 - distinct/total (0 if < 3 tokens)
 
     N-grams are 64-bit window hashes straight off the Arrow buffers
-    (shingle_hash_batch) — 1:1 with string n-grams modulo collisions, so
-    the DuckDB string-gram oracle matches exactly.  Whole-sequence shingles
-    emitted for docs shorter than the window are masked out.
+    (``shingle_hash_batch(strict=True)`` — docs shorter than the window
+    emit no grams) — 1:1 with string n-grams modulo collisions, so the
+    DuckDB string-gram oracle matches exactly.
     """
-    from ..stages.vectorized_tokenize import (
-        _binary_buffer,
-        _token_spans,
-        shingle_hash_batch,
-    )
+    from ..stages.vectorized_tokenize import shingle_hash_batch
 
     texts = _text_col(batch)
-    data, doc_off = _binary_buffer(texts)
-    _, _, doc_idx = _token_spans(data, doc_off, "simple")
-    ntok = np.bincount(doc_idx, minlength=len(doc_off) - 1).astype(np.int64)
-
     out = {"doc_id": batch["doc_id"]}
     for name, k in (("top_bigram_frac", 2), ("dup_trigram_frac", 3)):
-        h, off = shingle_hash_batch(texts, k=k)
-        # mask whole-sequence shingles of docs with fewer than k tokens
-        short = ntok < k
-        if short.any():
-            nsh = np.diff(off)
-            h = h[np.repeat(~short, nsh)]
-            nsh = np.where(short, 0, nsh)
-            off = np.concatenate(([0], np.cumsum(nsh))).astype(np.int64)
+        h, off = shingle_hash_batch(texts, k=k, strict=True)
         total = np.diff(off).astype(np.float64)
         maxcnt, distinct = _per_doc_runs(h, off)
         ok = total > 0

@@ -203,7 +203,9 @@ def content_hash64(arr: pa.Array) -> np.ndarray:
     return _span_hash64(data, starts, offsets[1:] - starts)
 
 
-def shingle_hash_batch(texts: pa.Array, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
+def shingle_hash_batch(
+    texts: pa.Array, k: int = 3, strict: bool = False
+) -> tuple[np.ndarray, np.ndarray]:
     """Word k-shingle hashes for EVERY doc of a batch in one vectorized pass.
 
     Returns (flat shingle hashes, doc-major; per-doc int64 offsets into it).
@@ -212,7 +214,9 @@ def shingle_hash_batch(texts: pa.Array, k: int = 3) -> tuple[np.ndarray, np.ndar
     token hashes with a polynomial mix — the shingle-hash SET is 1:1 with
     the string k-shingle set (modulo 64-bit collisions), so Jaccard values
     over these hashes match a string-shingle oracle exactly.  Docs with
-    0 < n < k tokens emit one whole-sequence shingle; zero-token docs emit
+    0 < n < k tokens emit one whole-sequence shingle (``strict=False``, the
+    MinHash convention) or NO shingles (``strict=True``, matching string
+    k-gram semantics — decontamination/repetition); zero-token docs emit
     none.  Simple tokenizer mode (trailing token flushed, first line kept).
     """
     data, doc_off = _binary_buffer(texts)
@@ -222,7 +226,10 @@ def shingle_hash_batch(texts: pa.Array, k: int = 3) -> tuple[np.ndarray, np.ndar
     ntok = np.bincount(doc_idx, minlength=n_docs).astype(np.int64)
     tok_off = np.concatenate(([0], np.cumsum(ntok)))
     kk = np.minimum(k, ntok)
-    nsh = np.where(ntok > 0, ntok - kk + 1, 0)
+    if strict:
+        nsh = np.where(ntok >= k, ntok - k + 1, 0)
+    else:
+        nsh = np.where(ntok > 0, ntok - kk + 1, 0)
     sh_off = np.concatenate(([0], np.cumsum(nsh))).astype(np.int64)
     total = int(sh_off[-1])
     if total == 0:
