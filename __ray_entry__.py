@@ -74,6 +74,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_windows": eq.q_pack_windows,
         # deterministic seeded epoch-order shuffle (range-partitioned sort)
         "training_shuffle": eq.q_training_shuffle,
+        # flagship composition: quality -> dedup survivors -> decontam
+        "curate_corpus": eq.q_curate_corpus,
         # benchmark decontamination: word-5-gram overlap vs a held-out slice
         # (broadcast bench gram-hash set, shuffle-free corpus probe)
         "decontam": eq.q_decontam,

@@ -834,3 +834,37 @@ def test_bpe_token_count_punctuation(ray_session):
     con.register("documents", df)
     want = con.sql(sql_bpe_token_count()).df()
     assert got["n_bpe_tokens"].tolist() == want["n_bpe_tokens"].tolist()
+
+
+def test_curate_corpus_drop_reasons(ray_session):
+    """Each curation stage drops exactly its targets: short docs, repetitive
+    docs, non-survivor duplicates, and benchmark-contaminated docs."""
+    import pandas as pd
+    import ray.data
+    from wse_ray.pipelines.curation import curate_corpus
+
+    good = " ".join(f"w{i}" for i in range(30))
+    good2 = " ".join(f"x{i}" for i in range(25))
+    contaminated = "c0 c1 c2 c3 c4 " + " ".join(f"y{i}" for i in range(20))
+    rows = [
+        {"doc_id": 1, "source": "s", "text": good},            # kept
+        {"doc_id": 2, "source": "s", "text": good},            # dup of 1 -> dropped
+        {"doc_id": 3, "source": "s", "text": "too short"},     # short -> dropped
+        {"doc_id": 4, "source": "s", "text": "r e p " * 10},   # repetitive -> dropped
+        {"doc_id": 5, "source": "s", "text": contaminated},    # bench 5-gram -> dropped
+        {"doc_id": 6, "source": "s", "text": good2},           # kept
+    ]
+    bench = pd.DataFrame(
+        [{"doc_id": 100, "text": "c0 c1 c2 c3 c4 " + " ".join(f"z{i}" for i in range(10))}]
+    )
+    out = (
+        curate_corpus(
+            ray.data.from_pandas(pd.DataFrame(rows)).repartition(2),
+            ray.data.from_pandas(bench),
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [1, 6]
+    assert out["n_tokens"].tolist() == [30, 25]

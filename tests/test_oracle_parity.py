@@ -64,6 +64,7 @@ SQL_CHECKED = [
     "rebalance_sources",
     "pack_windows",
     "training_shuffle",
+    "curate_corpus",
     "docs_per_source_cap",
     "dedup_minhash",
     "dedup_ngram",

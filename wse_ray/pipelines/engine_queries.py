@@ -568,6 +568,35 @@ def q_pack_windows(sf_dir: str) -> pd.DataFrame:
     ).sort_values("doc_id").reset_index(drop=True)
 
 
+def q_curate_corpus(sf_dir: str) -> pd.DataFrame:
+    """Flagship curation composition: quality filter (>=20 tokens,
+    dup-trigram <= 0.05) -> exact-dedup survivors -> 5-gram
+    decontamination vs the held-out doc_id%5==0 slice."""
+    import ray.data
+
+    from .curation import curate_corpus
+
+    def _split(bench: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            mask = (ids % 5 == 0) if bench else (ids % 5 != 0)
+            return t.filter(pa.array(mask))
+
+        return f
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "text"],
+    )
+    out = curate_corpus(
+        ds.map_batches(_split(False), batch_format="pyarrow"),
+        ds.map_batches(_split(True), batch_format="pyarrow"),
+    ).to_pandas()
+    return out.astype({"doc_id": np.int64, "n_tokens": np.int64}).sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+
+
 def q_rebalance_sources(sf_dir: str) -> pd.DataFrame:
     """Mixture rebalancing to a 200-doc uniform target across sources —
     per-source content-hash-threshold downsample (no shuffle)."""

@@ -435,6 +435,48 @@ FROM documents
 ORDER BY rank LIMIT 100"""
 
 
+def sql_curate_corpus() -> str:
+    # full recomputation of the composed pipeline: quality filter ->
+    # min-doc_id exact-dedup survivor -> 5-gram decontamination vs the
+    # doc_id%5==0 held-out slice (same thresholds/rounding as the engine)
+    return """
+WITH toks AS (
+  SELECT doc_id, source, text,
+         list_filter(string_split(text, ' '), x -> x <> '') AS parts
+  FROM documents
+),
+base AS (SELECT doc_id, source, text, parts, len(parts) AS n FROM toks),
+g3 AS (
+  SELECT doc_id, array_to_string(parts[i:i+2], ' ') AS g
+  FROM base, unnest(generate_series(1, n - 2)) AS t(i) WHERE n >= 3
+),
+d3 AS (
+  SELECT doc_id, count(DISTINCT g)::DOUBLE AS dd, count(*)::DOUBLE AS tt
+  FROM g3 GROUP BY doc_id
+),
+q AS (
+  SELECT b.doc_id, b.source, b.text, b.parts, b.n
+  FROM base b LEFT JOIN d3 USING (doc_id)
+  WHERE b.doc_id % 5 <> 0 AND b.n >= 20
+    AND coalesce(round(1 - dd / tt, 6), 0) <= 0.05
+),
+surv AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+bg AS (
+  SELECT DISTINCT array_to_string(parts[i:i+4], ' ') AS g
+  FROM base, unnest(generate_series(1, n - 4)) AS t(i)
+  WHERE doc_id % 5 = 0 AND n >= 5
+),
+contam AS (
+  SELECT DISTINCT q.doc_id
+  FROM q, unnest(generate_series(1, q.n - 4)) AS t(i)
+  WHERE array_to_string(q.parts[i:i+4], ' ') IN (SELECT g FROM bg)
+)
+SELECT q.doc_id, q.source, q.n::BIGINT AS n_tokens
+FROM q JOIN surv s ON s.doc_id = q.doc_id
+WHERE q.doc_id NOT IN (SELECT doc_id FROM contam)
+ORDER BY q.doc_id"""
+
+
 def sql_rebalance_sources() -> str:
     # same op order as rebalance_sources: (total/nsrc) first, then /n,
     # floor to a 16-bit hex threshold on md5(text)
@@ -881,6 +923,7 @@ def oracle_sql_map() -> dict[str, str]:
         "rebalance_sources": sql_rebalance_sources(),
         "pack_windows": sql_pack_windows(),
         "training_shuffle": sql_training_shuffle(),
+        "curate_corpus": sql_curate_corpus(),
         "docs_per_source_cap": sql_docs_per_source_cap(),
         "dedup_minhash": sql_dedup_minhash(),
         "dedup_ngram": sql_dedup_minhash(),  # exact-Jaccard ground truth, shared
