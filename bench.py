@@ -254,6 +254,7 @@ def main() -> None:
             ("dedup_ngram", lambda: eq.q_dedup_ngram(SF_DIR)),
             ("ann_topk", lambda: eq.q_ann_topk(SF_DIR)),
             ("decontam", lambda: eq.q_decontam(SF_DIR)),
+            ("curate_corpus", lambda: eq.q_curate_corpus(SF_DIR)),
             ("pricing_summary", lambda: rel.q_pricing_summary(SF_DIR)),
             ("join_priority_revenue", lambda: rel.q_join_priority_revenue(SF_DIR)),
             ("events_window", lambda: rel.q_events_window(SF_DIR)),
