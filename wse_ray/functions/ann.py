@@ -52,6 +52,25 @@ def cosine_matrix_duckdb(A: np.ndarray, B: np.ndarray) -> np.ndarray:
 
 
 def _stack(batch_col) -> np.ndarray:
+    """(n, d) float64 from an Arrow list<float> column — buffer-level
+    flatten + reshape when rows are uniform width (zero per-row Python
+    objects; `flatten()` respects slice offsets), object-array fallback
+    otherwise (e.g. pandas-object input)."""
+    if isinstance(batch_col, pa.ChunkedArray):
+        batch_col = batch_col.combine_chunks()
+    if isinstance(batch_col, pa.Array) and (
+        pa.types.is_list(batch_col.type)
+        or pa.types.is_large_list(batch_col.type)
+        or pa.types.is_fixed_size_list(batch_col.type)
+    ):
+        if pa.types.is_fixed_size_list(batch_col.type):
+            uniform = True
+        else:
+            w = np.diff(batch_col.offsets.to_numpy())
+            uniform = len(w) == 0 or bool((w == w[0]).all())
+        if uniform and len(batch_col):
+            flat = batch_col.flatten().to_numpy(zero_copy_only=False)
+            return flat.astype(np.float64).reshape(len(batch_col), -1)
     return np.stack(batch_col.to_numpy(zero_copy_only=False)).astype(np.float64)
 
 
