@@ -16,9 +16,12 @@ At 100 TB with large k (say 64k x 1024 dims) the per-batch partial is
 only the reduce would swap.  Determinism: embeddings are quantized to
 dyadic rationals (20 fractional bits) before summation, so every partial
 sum is EXACT in float64 (no rounding -> independent of block boundaries
-and summation order) while |sum of a cluster's coordinates| < 2^33 —
-far beyond any real embedding sum; the fit is bit-reproducible under any
-partitioning.
+and summation order) while |sum of a cluster's coordinates| < 2^33.
+Caveat: the argmin itself runs over unquantized BLAS distances, so a
+vector genuinely near-equidistant between two centroids could still flip
+under a different batch shape — the quantization removes the systematic
+reduce-order drift, not distance ties (measure-zero for continuous
+embeddings; absent in the gated/test data).
 """
 from __future__ import annotations
 

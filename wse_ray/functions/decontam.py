@@ -36,6 +36,29 @@ def benchmark_gram_set(bench_ds, k: int = 8, text_col: str = "text") -> np.ndarr
     return np.unique(parts["h"].to_numpy())
 
 
+def probe_hit_counts(
+    h: np.ndarray, off: np.ndarray, bench: np.ndarray
+) -> np.ndarray:
+    """Per-doc count of DISTINCT gram hashes found in the SORTED ``bench``
+    array — the shared probe of contamination_hits and the curation
+    pipeline's decontamination stage."""
+    nsh = np.diff(off)
+    didx = np.repeat(np.arange(len(nsh)), nsh)
+    if len(bench) and len(h):
+        pos = np.searchsorted(bench, h).clip(max=len(bench) - 1)
+        hit = bench[pos] == h
+    else:
+        hit = np.zeros(len(h), dtype=bool)
+    counts = np.zeros(len(nsh), dtype=np.int64)
+    if hit.any():
+        dh, hh = didx[hit], h[hit]
+        order = np.lexsort((hh, dh))
+        dh, hh = dh[order], hh[order]
+        first = np.concatenate(([True], (dh[1:] != dh[:-1]) | (hh[1:] != hh[:-1])))
+        counts = np.bincount(dh[first], minlength=len(nsh)).astype(np.int64)
+    return counts
+
+
 def contamination_hits(ds, bench_hashes: np.ndarray, k: int = 8):
     """(doc_id, n_hits) for every doc sharing >= 1 distinct k-gram with the
     benchmark set.  n_hits counts DISTINCT matching grams."""
@@ -47,22 +70,7 @@ def contamination_hits(ds, bench_hashes: np.ndarray, k: int = 8):
         bench = ray.get(ref)
         h, off = _doc_kgram_hashes(t["text"], k)
         doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        nsh = np.diff(off)
-        didx = np.repeat(np.arange(len(nsh)), nsh)
-        if len(bench) and len(h):
-            pos = np.searchsorted(bench, h).clip(max=len(bench) - 1)
-            hit = bench[pos] == h
-        else:
-            hit = np.zeros(len(h), dtype=bool)
-        counts = np.zeros(len(nsh), dtype=np.int64)
-        if hit.any():
-            dh, hh = didx[hit], h[hit]
-            order = np.lexsort((hh, dh))
-            dh, hh = dh[order], hh[order]
-            first = np.concatenate(
-                ([True], (dh[1:] != dh[:-1]) | (hh[1:] != hh[:-1]))
-            )
-            counts = np.bincount(dh[first], minlength=len(nsh)).astype(np.int64)
+        counts = probe_hit_counts(h, off, bench)
         keep = counts > 0
         return pa.table(
             {

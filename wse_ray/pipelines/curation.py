@@ -4,10 +4,12 @@ benchmark decontamination — as one streaming pipeline.
 
 Stages (all reuse the gated primitives):
 
-1. **quality**: one fused vectorized pass computes n_tokens and the
-   duplicate-trigram fraction (``shingle_hash_batch(strict=True)`` +
-   ``_per_doc_runs``) and keeps docs with ``n_tokens >= min_tokens`` and
-   ``dup_trigram_frac <= max_dup3`` — no extra tokenize passes, no join.
+1. **quality**: one map stage computes n_tokens (span scan only — no
+   hashing) and the duplicate-trigram fraction (one
+   ``shingle_hash_batch(strict=True)`` + ``_per_doc_runs``) and keeps
+   docs with ``n_tokens >= min_tokens`` and ``dup_trigram_frac <=
+   max_dup3``; its output is materialized ONCE because both later stages
+   consume it.
 2. **dedup**: ``groupby(md5(text)).aggregate(Min(doc_id))`` yields the
    survivor id set — broadcast once (output-sized; for corpora whose kept
    set outgrows a broadcast, swap the membership filter for
@@ -39,11 +41,15 @@ def curate_corpus(
     from ..stages.vectorized_tokenize import shingle_hash_batch
 
     def quality(t: pa.Table) -> pa.Table:
+        from ..stages.vectorized_tokenize import _binary_buffer, _token_spans
+
         text = t["text"]
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
-        h1, off1 = shingle_hash_batch(text, k=1, strict=True)
-        ntok = np.diff(off1)
+        # token counts from the span scan alone (no hashing needed)
+        data, doc_off = _binary_buffer(text)
+        _, _, doc_idx = _token_spans(data, doc_off, "simple")
+        ntok = np.bincount(doc_idx, minlength=len(doc_off) - 1).astype(np.int64)
         h3, off3 = shingle_hash_batch(text, k=3, strict=True)
         tot3 = np.diff(off3).astype(np.float64)
         _mx, distinct = _per_doc_runs(h3, off3)
@@ -56,12 +62,17 @@ def curate_corpus(
                 "doc_id": out["doc_id"],
                 "source": out["source"],
                 "text": out["text"],
-                "n_tokens": pa.array(ntok[keep].astype(np.int64)),
-                "text_hash": pa.array(md5),
+                "n_tokens": pa.array(ntok[keep]),
+                # typed: an all-filtered block must not emit a null column
+                "text_hash": pa.array(md5, pa.string()),
             }
         )
 
-    q = docs_ds.map_batches(quality, batch_format="pyarrow")
+    # materialize once: both the survivor groupby and the finalize pass
+    # consume q — without this the whole quality lineage (read + tokenize +
+    # md5) would execute twice.  Object-store backed; Ray spills to disk
+    # when the kept set exceeds memory.
+    q = docs_ds.map_batches(quality, batch_format="pyarrow").materialize()
 
     from ray.data.aggregate import Min
 
@@ -78,22 +89,14 @@ def curate_corpus(
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         pos = np.searchsorted(sids, ids).clip(max=max(len(sids) - 1, 0))
         is_surv = (sids[pos] == ids) if len(sids) else np.zeros(len(ids), bool)
+        from ..functions.decontam import probe_hit_counts
+
         h, off = shingle_hash_batch(
             t["text"].combine_chunks()
             if isinstance(t["text"], pa.ChunkedArray) else t["text"],
             k=decontam_k, strict=True,
         )
-        nsh = np.diff(off)
-        if len(grams) and len(h):
-            gpos = np.searchsorted(grams, h).clip(max=len(grams) - 1)
-            hit = grams[gpos] == h
-        else:
-            hit = np.zeros(len(h), dtype=bool)
-        doc_hit = np.zeros(len(ids), dtype=bool)
-        if hit.any():
-            didx = np.repeat(np.arange(len(nsh)), nsh)
-            doc_hit[np.unique(didx[hit])] = True
-        keep = is_surv & ~doc_hit
+        keep = is_surv & (probe_hit_counts(h, off, grams) == 0)
         out = t.filter(pa.array(keep))
         return out.select(["doc_id", "source", "n_tokens"])
 
