@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": eq.q_dedup_embedding,
         "ann_topk": eq.q_ann_topk,
         "ann_ivf": eq.q_ann_ivf,  # pinned-golden oracle (approximate by design)
+        "ann_lsh": eq.q_ann_lsh,  # pinned-golden oracle (approximate by design)
         # distributed k-means over embeddings (broadcast centroids, map-side
         # partial sums; iterative -> pinned-golden oracle)
         "kmeans_embed": eq.q_kmeans_embed,

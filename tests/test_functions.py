@@ -90,6 +90,80 @@ def test_ivf_recall_vs_brute(vec_ds):
     assert np.mean(recalls) >= 0.6  # nprobe=4 of 8 cells
 
 
+def test_lsh_full_probe_is_exact(vec_ds):
+    """nprobe = 2**n_bits probes every bucket, so multi-probe LSH must
+    degrade to exactly the brute-force scan (same ranks, same vec_ids)."""
+    from wse_ray.functions.ann import brute_topk, lsh_topk
+
+    qs = [0, 1, 2, 3, 4]
+    brute = brute_topk(vec_ds, qs, k=5)
+    full = lsh_topk(vec_ds, qs, k=5, n_bits=4, nprobe=16)
+    pd.testing.assert_frame_equal(
+        full.reset_index(drop=True), brute.reset_index(drop=True)
+    )
+
+
+def test_lsh_recall_vs_brute(vec_ds):
+    from wse_ray.functions.ann import brute_topk, lsh_topk
+
+    qs = [0, 1, 2, 3, 4]
+    brute = brute_topk(vec_ds, qs, k=5)
+    approx = lsh_topk(vec_ds, qs, k=5, n_bits=4, nprobe=6)
+    recalls = []
+    for q in qs:
+        b = set(brute[brute["query_id"] == q]["vec_id"])
+        a = set(approx[approx["query_id"] == q]["vec_id"])
+        recalls.append(len(a & b) / len(b))
+    assert np.mean(recalls) >= 0.6  # nprobe=6 of 16 buckets
+    # a query's own vector lives in its own (cost-0, always probed) bucket
+    own = approx[approx["rank"] == 1]
+    assert (own["vec_id"].to_numpy() == own["query_id"].to_numpy()).all()
+
+
+def test_lsh_partition_pruned_index(vec_ds, tmp_path):
+    """The persistent LSH index must (a) partition by bucket, (b) return
+    the same results as the one-shot path, (c) resume without rewriting,
+    and (d) rebuild when the layout params change."""
+    import glob
+    import json
+
+    import numpy.testing as npt
+    from wse_ray.functions.ann import build_lsh_index, lsh_search_index, lsh_topk
+
+    idx = str(tmp_path / "lsh")
+    build_lsh_index(vec_ds, idx, n_bits=4)
+    assert len(glob.glob(idx + "/buckets/bucket=*")) >= 2
+
+    qsel = vec_ds.to_pandas()
+    qsel = qsel[qsel["vec_id"].isin([0, 1, 2])].sort_values("vec_id")
+    q_ids = qsel["vec_id"].to_numpy(np.int64)
+    q_mat = np.stack(qsel["embedding"].to_numpy())
+    via_index = lsh_search_index(idx, q_ids, q_mat, k=5, nprobe=4)
+    one_shot = lsh_topk(vec_ds, [0, 1, 2], k=5, n_bits=4, nprobe=4)
+    pd.testing.assert_frame_equal(
+        via_index.reset_index(drop=True), one_shot.reset_index(drop=True)
+    )
+    npt.assert_array_equal(
+        build_lsh_index(vec_ds, idx, n_bits=4), np.load(idx + "/planes.npy")
+    )
+    planes2 = build_lsh_index(vec_ds, idx, n_bits=5)
+    assert planes2.shape[1] == 5  # rebuilt, not the stale 4-bit layout
+    with open(idx + "/_SUCCESS") as f:
+        assert json.load(f) == {"n_bits": 5, "seed": 13}
+
+
+def test_lsh_multiprobe_order():
+    """Probe order is cheapest-sign-flip-first: the query's own bucket
+    leads (cost 0), then single-bit flips ordered by |projection|."""
+    from wse_ray.functions.ann import _lsh_bucket, _multiprobe_order
+
+    proj = np.array([[0.9, -0.1, 0.5]])  # bucket bits (1,0,1) -> id 0b101=5
+    order = _multiprobe_order(proj)[0]
+    assert order[0] == _lsh_bucket(proj)[0] == 5
+    assert order[1] == 0b111  # flip cheapest bit (|-0.1|): id 7
+    assert order[2] == 0b100  # next: flip 0.5 bit -> id 4
+
+
 def test_embedding_dup_pairs(vec_ds):
     from wse_ray.functions.dedup import embedding_dup_pairs
 

@@ -92,6 +92,7 @@ SQL_CHECKED = [
     "search_snippets",
     "dedup_simhash",
     "ann_ivf",
+    "ann_lsh",
     "kmeans_embed",
     "hll_users_daily",
 ]

@@ -44,6 +44,7 @@ def main():
         ("SNIPPETS_GOLDEN_SF001", eq.q_search_snippets),
         ("SIMHASH_GOLDEN_SF001", eq.q_dedup_simhash),
         ("ANN_IVF_GOLDEN_SF001", eq.q_ann_ivf),
+        ("ANN_LSH_GOLDEN_SF001", eq.q_ann_lsh),
         ("KMEANS_GOLDEN_SF001", eq.q_kmeans_embed),
         ("HLL_GOLDEN_SF001", eq.q_hll_users_daily),
     ]

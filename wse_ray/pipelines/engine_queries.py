@@ -853,6 +853,25 @@ def q_ann_ivf(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_ann_lsh(sf_dir: str) -> pd.DataFrame:
+    """Multi-probe LSH top-k through the PERSISTENT bucket-partitioned
+    index (cached per sf dir): probes read only the queried buckets'
+    partitions."""
+    from ..functions.ann import lsh_topk
+
+    out = lsh_topk(
+        _emb_ds(sf_dir),
+        ANN_QUERY_IDS,
+        ANN_K,
+        n_bits=6,
+        nprobe=16,
+        index_dir=_index_dir(sf_dir) + "_lsh",
+    )
+    return out.astype(
+        {"query_id": np.int64, "rank": np.int64, "vec_id": np.int64, "cosine": float}
+    )
+
+
 def q_multimodal_meta(sf_dir: str) -> pd.DataFrame:
     from ..functions.multimodal import DecodeMedia, synth_media_ds
 

@@ -850,6 +850,19 @@ FROM (VALUES {ANN_IVF_GOLDEN_SF001}) AS t(query_id, rank, vec_id, cosine)
 ORDER BY query_id, rank"""
 
 
+def sql_ann_lsh() -> str:
+    from .goldens import ANN_LSH_GOLDEN_SF001
+
+    # pinned-golden oracle: multi-probe LSH is approximate by design
+    # (recall vs brute force pinned by pytest, full-probe mode proven
+    # identical to the exact scan); the pin gates plane/probe determinism
+    return f"""
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank,
+       vec_id::BIGINT AS vec_id, cosine::DOUBLE AS cosine
+FROM (VALUES {ANN_LSH_GOLDEN_SF001}) AS t(query_id, rank, vec_id, cosine)
+ORDER BY query_id, rank"""
+
+
 def sql_embedding_centroid() -> str:
     # exact recomputation: per-dimension mean, then cosine per vector
     return """
@@ -904,6 +917,7 @@ def oracle_sql_map() -> dict[str, str]:
         "search_snippets": sql_search_snippets(),
         "dedup_simhash": sql_dedup_simhash(),
         "ann_ivf": sql_ann_ivf(),
+        "ann_lsh": sql_ann_lsh(),
         "kmeans_embed": sql_kmeans_embed(),
         "embedding_centroid": sql_embedding_centroid(),
         "hll_users_daily": sql_hll_users_daily(),
