@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_normalized": eq.q_dedup_normalized,
         # deterministic content-hash sampling (stateless, resume-stable)
         "sample_docs": eq.q_sample_docs,
+        "sample_weighted": eq.q_sample_weighted,
         # per-source mixture rebalance (broadcast thresholds, no shuffle)
         "rebalance_sources": eq.q_rebalance_sources,
         # concat-and-chunk sequence packing (row-group token prefix sum)
@@ -79,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # benchmark decontamination: word-5-gram overlap vs a held-out slice
         # (broadcast bench gram-hash set, shuffle-free corpus probe)
         "decontam": eq.q_decontam,
+        "decontam_bloom": eq.q_decontam_bloom,  # pinned-golden oracle (Bloom bits not SQL-expressible)
         # per-domain quota cap (map-side top-k combiner)
         "docs_per_source_cap": eq.q_docs_per_source_cap,
         # exact-Jaccard SQL oracle; NOTE gate equality is sf-dependent: at

@@ -620,6 +620,80 @@ def test_decontam_planted_overlap(ray_session):
     assert out["n_hits"].tolist() == [1, 2]
 
 
+def test_decontam_bloom_superset_and_fp_envelope(ray_session):
+    """The Bloom route NEVER drops a true hit (no false negatives, count
+    >= exact count per doc), and its gram-level false-positive rate on a
+    disjoint probe set stays inside the sizing envelope."""
+    import pandas as pd
+    import ray.data
+    from wse_ray.functions.decontam import (
+        BloomFilter,
+        benchmark_bloom,
+        benchmark_gram_set,
+        contamination_hits,
+        contamination_hits_bloom,
+    )
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        {"doc_id": 1, "text": "alpha beta gamma delta epsilon x "
+                              "alpha beta gamma delta epsilon"},
+        {"doc_id": 2, "text": "beta gamma delta epsilon zeta eta"},
+        {"doc_id": 3, "text": "totally unrelated words with no overlap at all"},
+        {"doc_id": 4, "text": "alpha beta gamma delta"},
+    ]
+    bench = ray.data.from_pandas(pd.DataFrame([{"doc_id": 0, "text": bench_text}]))
+    corpus = ray.data.from_pandas(pd.DataFrame(rows)).repartition(2)
+    exact = (
+        contamination_hits(corpus, benchmark_gram_set(bench, k=5), k=5)
+        .to_pandas().set_index("doc_id")["n_hits"]
+    )
+    bloom = (
+        contamination_hits_bloom(corpus, benchmark_bloom(bench, k=5), k=5)
+        .to_pandas().set_index("doc_id")["n_hits"]
+    )
+    for doc_id, n in exact.items():  # containment: every exact hit survives
+        assert bloom.get(doc_id, 0) >= n
+
+    # FP envelope: probe 200k hashes disjoint from the 10k stored ones
+    rng = np.random.default_rng(5)
+    stored = rng.integers(0, 1 << 63, size=10_000, dtype=np.uint64)
+    blm = BloomFilter(stored, bits_per_elem=16, n_hashes=11)
+    assert blm.contains(stored).all()  # no false negatives, ever
+    probes = rng.integers(0, 1 << 63, size=200_000, dtype=np.uint64)
+    fresh = probes[~np.isin(probes, stored)]
+    fp_rate = blm.contains(fresh).mean()
+    # theoretical ~(1-e^(-11/16))^11 ~ 2e-4 with m rounded UP to a power
+    # of two (so real rate is at or below nominal); allow 3x slack
+    assert fp_rate < 6e-4, fp_rate
+
+
+def test_weighted_sample_proportional_and_stable(ray_session):
+    """A-ES weighted sampling: (a) rerun-stable (pure function of id+salt),
+    (b) inclusion frequency across many salts tracks the weights, (c) a
+    zero-ish weight is effectively never drawn against heavy rows."""
+    import pandas as pd
+    import ray.data
+    from wse_ray.functions.sampling import weighted_sample
+
+    df = pd.DataFrame(
+        {"doc_id": np.arange(60), "w": np.where(np.arange(60) < 10, 100.0, 1.0)}
+    )
+    ds = ray.data.from_pandas(df).repartition(3)
+    a = weighted_sample(ds, k=5, weight_col="w")
+    b = weighted_sample(ds, k=5, weight_col="w")
+    pd.testing.assert_frame_equal(a, b)  # deterministic
+    assert a["rank"].tolist() == [1, 2, 3, 4, 5]
+
+    heavy_hits = 0
+    for salt in range(30):
+        s = weighted_sample(ds, k=5, weight_col="w", salt=str(salt))
+        heavy_hits += int((s["doc_id"] < 10).sum())
+    # heavy ids hold 10*100 of the 10*100+50*1 total weight (~95%); with
+    # k=5 over 30 salts the heavy share of 150 draws concentrates hard
+    assert heavy_hits >= 120, heavy_hits
+
+
 def test_repetition_stats_hand_values(ray_session):
     """Hand-checked n-gram repetition fractions, incl. short-doc masking."""
     import pandas as pd

@@ -61,6 +61,7 @@ SQL_CHECKED = [
     "pii_scrub",
     "lm_score",
     "sample_docs",
+    "sample_weighted",
     "rebalance_sources",
     "pack_windows",
     "training_shuffle",
@@ -93,6 +94,7 @@ SQL_CHECKED = [
     "dedup_simhash",
     "ann_ivf",
     "ann_lsh",
+    "decontam_bloom",
     "kmeans_embed",
     "hll_users_daily",
 ]

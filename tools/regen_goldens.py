@@ -45,6 +45,7 @@ def main():
         ("SIMHASH_GOLDEN_SF001", eq.q_dedup_simhash),
         ("ANN_IVF_GOLDEN_SF001", eq.q_ann_ivf),
         ("ANN_LSH_GOLDEN_SF001", eq.q_ann_lsh),
+        ("DECONTAM_BLOOM_GOLDEN_SF001", eq.q_decontam_bloom),
         ("KMEANS_GOLDEN_SF001", eq.q_kmeans_embed),
         ("HLL_GOLDEN_SF001", eq.q_hll_users_daily),
     ]

@@ -98,6 +98,58 @@ def rebalance_sources(
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def weighted_sample(
+    ds, k: int, weight_col: str, id_col: str = "doc_id", salt: str = "ws"
+):
+    """Deterministic weighted sample WITHOUT replacement (Efraimidis–
+    Spirakis A-ES): each row gets the key ``ln(u)/w`` with ``u`` a uniform
+    derived from ``md5(id:salt)`` and ``w`` its weight; the k LARGEST keys
+    are the sample, each row drawn with probability proportional to its
+    weight.
+
+    Scale shape: a distributed ARGMAX, not a shuffle — every batch emits
+    only its local top-k partial (like ``ann.brute_topk``) and the driver
+    merges batches x k tiny rows; content-keyed u makes the draw
+    rerun/resume-stable, and epoch N = salt N redraws for free.
+
+    SQL parity: ``u = (CAST('0x' || substr(md5(id || ':salt'), 1, 8) AS
+    UBIGINT) + 0.5) / 2^32``, ``row_number() OVER (ORDER BY
+    round(ln(u)/w, 9) DESC, id)``.  The key is QUANTIZED to 9 dp before
+    ranking because DuckDB's ``ln`` drifts from numpy's by 1 ulp on some
+    inputs (measured), which would flip near-tied ranks; ties created by
+    the quantization break by id on both sides.
+    """
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        u32 = np.array(
+            [
+                int(hashlib.md5(f"{i}:{salt}".encode()).hexdigest()[:8], 16)
+                for i in ids
+            ],
+            dtype=np.float64,
+        )
+        lnkey = np.round(
+            np.log((u32 + 0.5) / 4294967296.0) / np.maximum(w, 1e-300), 9
+        )
+        take = np.lexsort((ids, -lnkey))[:k]
+        return pa.table(
+            {
+                id_col: pa.array(ids[take], pa.int64()),
+                "weight": pa.array(w[take], pa.float64()),
+                "lnkey": pa.array(lnkey[take], pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    out = partials.sort_values(
+        ["lnkey", id_col], ascending=[False, True]
+    ).head(k).reset_index(drop=True)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out[["rank", id_col, "weight", "lnkey"]]
+
+
 def training_shuffle(ds, seed: int, id_col: str = "doc_id"):
     """Deterministic global training-order shuffle: every row gets the key
     ``md5(id:seed)`` and the dataset is range-partition SORTED by it — a

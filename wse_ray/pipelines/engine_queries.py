@@ -643,6 +643,23 @@ def q_sample_docs(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_sample_weighted(sf_dir: str) -> pd.DataFrame:
+    """Weighted sample without replacement (Efraimidis–Spirakis over
+    md5-derived uniforms, weight = n_chars): distributed argmax — each
+    batch ships only its local top-k partial, no shuffle."""
+    import ray.data
+
+    from ..functions.sampling import weighted_sample
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+    )
+    out = weighted_sample(ds, k=20, weight_col="n_chars")
+    return out.astype(
+        {"rank": np.int64, "doc_id": np.int64, "weight": float, "lnkey": float}
+    )
+
+
 def q_docs_per_source_cap(sf_dir: str) -> pd.DataFrame:
     """Per-domain quota: keep the 5 lowest-id docs of each source (the
     per-domain cap of curation pipelines), via map-side top-k combiner +
@@ -712,6 +729,37 @@ def q_decontam(sf_dir: str) -> pd.DataFrame:
     )
     out = contamination_hits(
         ds.map_batches(_split(False), batch_format="pyarrow"), grams, k=5
+    ).to_pandas()
+    return out.astype({"doc_id": np.int64, "n_hits": np.int64}).sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+
+
+def q_decontam_bloom(sf_dir: str) -> pd.DataFrame:
+    """Bloom-filter decontamination: same bench/corpus split as
+    ``q_decontam``, but the bench gram set broadcasts as a fixed
+    16-bits-per-gram Bloom filter instead of the exact sorted hash array —
+    the scale path when the benchmark suite outgrows a comfortable
+    broadcast.  Superset of the exact output by construction (no false
+    negatives; pytest pins the containment and the FP envelope)."""
+    import pyarrow as pa
+
+    from ..functions.decontam import benchmark_bloom, contamination_hits_bloom
+
+    def _split(bench: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            mask = (ids % 5 == 0) if bench else (ids % 5 != 0)
+            return t.filter(pa.array(mask))
+
+        return f
+
+    ds = _docs_ds(sf_dir)
+    bloom = benchmark_bloom(
+        ds.map_batches(_split(True), batch_format="pyarrow"), k=5
+    )
+    out = contamination_hits_bloom(
+        ds.map_batches(_split(False), batch_format="pyarrow"), bloom, k=5
     ).to_pandas()
     return out.astype({"doc_id": np.int64, "n_hits": np.int64}).sort_values(
         "doc_id"

@@ -407,6 +407,36 @@ WHERE substr(md5(text), 1, 4) < '2000'
 ORDER BY doc_id"""
 
 
+def sql_sample_weighted() -> str:
+    # exact recomputation of the A-ES draw: u from the md5(id:salt) hex
+    # prefix, key = round(ln(u)/w, 9), top-20 by (key desc, id).  The 9 dp
+    # quantization absorbs DuckDB-vs-numpy 1-ulp ln drift (sampling.py
+    # weighted_sample docstring)
+    return """
+WITH keyed AS (
+  SELECT doc_id, n_chars::DOUBLE AS weight,
+         round(ln((CAST('0x' || substr(md5(doc_id || ':ws'), 1, 8) AS UBIGINT)
+                   + 0.5) / 4294967296.0) / n_chars, 9) AS lnkey
+  FROM documents
+)
+SELECT row_number() OVER (ORDER BY lnkey DESC, doc_id)::BIGINT AS rank,
+       doc_id, weight, lnkey
+FROM keyed ORDER BY lnkey DESC, doc_id LIMIT 20"""
+
+
+def sql_decontam_bloom() -> str:
+    from .goldens import DECONTAM_BLOOM_GOLDEN_SF001
+
+    # pinned-golden oracle: the Bloom bit pattern is not SQL-expressible;
+    # the no-false-negative containment vs the EXACT sql_decontam output
+    # and the FP envelope are pytest-pinned, this pin gates hash/probe
+    # determinism
+    return f"""
+SELECT doc_id::BIGINT AS doc_id, n_hits::BIGINT AS n_hits
+FROM (VALUES {DECONTAM_BLOOM_GOLDEN_SF001}) AS t(doc_id, n_hits)
+ORDER BY doc_id"""
+
+
 def sql_pack_windows() -> str:
     # global token prefix sum in doc_id order (== the row-group corpus
     # order of the testdata files), then integer window arithmetic
@@ -927,6 +957,7 @@ def oracle_sql_map() -> dict[str, str]:
         "dedup_exact": sql_dedup_exact(),
         "dedup_normalized": sql_dedup_normalized(),
         "decontam": sql_decontam(),
+        "decontam_bloom": sql_decontam_bloom(),
         "repetition_stats": sql_repetition_stats(),
         "pii_scrub": sql_pii_scrub(),
         "lm_score": sql_lm_score(),
@@ -934,6 +965,7 @@ def oracle_sql_map() -> dict[str, str]:
         "top_bigrams": sql_top_bigrams(),
         "doc_keywords": sql_doc_keywords(),
         "sample_docs": sql_sample_docs(),
+        "sample_weighted": sql_sample_weighted(),
         "rebalance_sources": sql_rebalance_sources(),
         "pack_windows": sql_pack_windows(),
         "training_shuffle": sql_training_shuffle(),
