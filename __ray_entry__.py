@@ -47,6 +47,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_disjunctive": eq.q_bm25_disjunctive,
         "bm25_conjunctive": eq.q_bm25_conjunctive,
         "bm25_sharded": eq.q_bm25_sharded,  # doc-sharded scatter-gather
+        # incremental ingestion: base build on 60% of docs + extend_index on
+        # the rest, served exactly (shares the bm25_disjunctive oracle)
+        "bm25_extend": eq.q_bm25_extend,
         "bm25_trec": eq.q_bm25_trec,  # TREC tokenizer quirks end-to-end
         "search_snippets": eq.q_search_snippets,  # N1-N6 dispatch (pinned-golden oracle)
         # text analysis

@@ -1,0 +1,165 @@
+"""Incremental index extension (index/extend.py) must serve BIT-IDENTICAL
+search results to a from-scratch rebuild of the concatenated corpus, for
+both partition layouts, every query mode, single-node and sharded."""
+import json
+import os
+
+import pytest
+
+from wse_ray.config import BuildConfig
+from wse_ray.fixtures import make_queries, write_corpus_parquet
+from wse_ray.index.build import build_index
+from wse_ray.index.extend import extend_index, refresh_bounds
+from wse_ray.query.scorer import SearchEngine
+
+
+@pytest.fixture(scope="module")
+def split_corpus(ray_session, tmp_path_factory):
+    """One deterministic corpus written as 5 files; A = first 3 files,
+    B = last 2 — docID enumeration of (A then B) equals the full corpus."""
+    d = str(tmp_path_factory.mktemp("ext_corpus"))
+    paths = write_corpus_parquet(d, 400, n_files=5)
+    return d, paths[:3], paths[3:]
+
+
+def _assert_identical(e_inc, e_full, modes=("disjunctive", "conjunctive")):
+    for q in make_queries():
+        for mode in modes:
+            got = e_inc.search(q["query"], mode, q["k"])
+            want = e_full.search(q["query"], mode, q["k"])
+            assert got == want, (q["query"], mode)
+
+
+def test_extend_doc_layout_matches_full_rebuild(
+    ray_session, split_corpus, tmp_path_factory
+):
+    corpus_dir, a_files, b_files = split_corpus
+    full = str(tmp_path_factory.mktemp("full_doc"))
+    inc = str(tmp_path_factory.mktemp("inc_doc"))
+    build_index(corpus_dir, full, BuildConfig(num_partitions=4, partition_by="doc"))
+    build_index(a_files, inc, BuildConfig(num_partitions=2, partition_by="doc"))
+    manifest = extend_index(inc, b_files)
+
+    e_full = SearchEngine(full)
+    e_inc = SearchEngine(inc)
+    assert e_inc.N == e_full.N
+    assert e_inc.avgdl == e_full.avgdl
+    assert e_inc.stats == e_full.stats
+    _assert_identical(e_inc, e_full)
+
+    # delta went into brand-new partitions; base part dirs untouched
+    assert manifest["extensions"][0]["parts"], "doc extension must add parts"
+    assert min(manifest["extensions"][0]["parts"]) >= 2
+
+    # base parts' baked bounds are stale -> pruned mode silently serves
+    # exhaustive; results still identical to the full rebuild's pruned mode
+    assert e_inc._stale_ubs and not e_full._stale_ubs
+    _assert_identical(e_inc, e_full, modes=("disjunctive_pruned",))
+
+    # refresh_bounds re-encodes with the new stats: flag cleared, pruned
+    # runs for real, results unchanged
+    refresh_bounds(inc)
+    e_ref = SearchEngine(inc)
+    assert not e_ref._stale_ubs
+    _assert_identical(e_ref, e_full, modes=("disjunctive_pruned",))
+
+
+def test_extend_doc_layout_sharded(ray_session, split_corpus, tmp_path_factory):
+    """The sharded engine over an extended index must use the manifest's
+    explicit doc ranges (the formula no longer applies at the new N)."""
+    from wse_ray.query.sharded import ShardedSearchEngine
+
+    corpus_dir, a_files, b_files = split_corpus
+    full = str(tmp_path_factory.mktemp("full_doc_s"))
+    inc = str(tmp_path_factory.mktemp("inc_doc_s"))
+    build_index(corpus_dir, full, BuildConfig(num_partitions=4, partition_by="doc"))
+    build_index(a_files, inc, BuildConfig(num_partitions=3, partition_by="doc"))
+    extend_index(inc, b_files)
+
+    e_full = SearchEngine(full)
+    sharded = ShardedSearchEngine(inc)
+    # explicit ranges must tile [0, N) without gaps or overlaps
+    spans = sorted(sharded.doc_ranges)
+    assert spans[0][0] == 0 and spans[-1][1] == e_full.N
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(spans, spans[1:]):
+        assert a_hi == b_lo
+    for q in make_queries()[:12]:
+        got = sharded.search(q["query"], q["mode"], q["k"])
+        want = e_full.search(q["query"], q["mode"], q["k"])
+        assert got == want, q["query"]
+
+
+def test_extend_term_layout_matches_full_rebuild(
+    ray_session, split_corpus, tmp_path_factory
+):
+    """Term layout: delta exchange + re-encode -> bounds are FRESH, so
+    pruned mode needs no fallback and still matches the full rebuild."""
+    corpus_dir, a_files, b_files = split_corpus
+    full = str(tmp_path_factory.mktemp("full_term"))
+    inc = str(tmp_path_factory.mktemp("inc_term"))
+    cfg = BuildConfig(num_partitions=4, heavy_df_threshold=50, heavy_subparts=2)
+    build_index(corpus_dir, full, cfg)
+    build_index(a_files, inc, cfg)
+    extend_index(inc, b_files)
+
+    e_full = SearchEngine(full)
+    e_inc = SearchEngine(inc)
+    assert e_inc.stats == e_full.stats
+    assert not e_inc._stale_ubs  # re-encoded with the new stats
+    _assert_identical(
+        e_inc, e_full, modes=("disjunctive", "conjunctive", "disjunctive_pruned")
+    )
+
+
+def test_extend_second_generation(ray_session, tmp_path_factory):
+    """Two successive extensions equal one full rebuild of all three
+    batches (generation folding of stats + ranges)."""
+    d = str(tmp_path_factory.mktemp("ext3_corpus"))
+    paths = write_corpus_parquet(d, 300, n_files=6)
+    full = str(tmp_path_factory.mktemp("full3"))
+    inc = str(tmp_path_factory.mktemp("inc3"))
+    build_index(d, full, BuildConfig(num_partitions=4, partition_by="doc"))
+    build_index(paths[:2], inc, BuildConfig(num_partitions=2, partition_by="doc"))
+    extend_index(inc, paths[2:4])
+    manifest = extend_index(inc, paths[4:])
+    assert [e["gen"] for e in manifest["extensions"]] == [1, 2]
+
+    e_full = SearchEngine(full)
+    e_inc = SearchEngine(inc)
+    assert e_inc.stats == e_full.stats
+    _assert_identical(e_inc, e_full)
+
+
+def test_extend_resume_and_corpus_guard(ray_session, tmp_path_factory):
+    """An interrupted extension resumes idempotently when re-called with
+    the same corpus, and refuses a different corpus mid-generation."""
+    d = str(tmp_path_factory.mktemp("extr_corpus"))
+    paths = write_corpus_parquet(d, 200, n_files=4)
+    inc = str(tmp_path_factory.mktemp("incr"))
+    build_index(paths[:2], inc, BuildConfig(num_partitions=2, partition_by="doc"))
+    extend_index(inc, paths[2:3])
+
+    # simulate a crash after phase 2: wipe the later markers of gen 1
+    gen_dir = os.path.join(inc, "ext_gen001")
+    os.remove(os.path.join(gen_dir, "phase_parts.done"))
+    os.remove(os.path.join(gen_dir, "done"))
+    with open(os.path.join(inc, "manifest.json")) as f:
+        m = json.load(f)
+    m["extensions"] = []  # manifest write happens last; crash lost it
+    with open(os.path.join(inc, "manifest.json"), "w") as f:
+        json.dump(m, f)
+
+    # a DIFFERENT corpus mid-generation must be refused
+    with pytest.raises(ValueError, match="different corpus"):
+        extend_index(inc, paths[3:])
+
+    # same corpus resumes; results equal a clean two-batch build
+    extend_index(inc, paths[2:3])
+    full = str(tmp_path_factory.mktemp("fullr"))
+    build_index(paths[:3], full, BuildConfig(num_partitions=2, partition_by="doc"))
+    e_inc, e_full = SearchEngine(inc), SearchEngine(full)
+    assert e_inc.stats == e_full.stats
+    for q in make_queries()[:10]:
+        assert e_inc.search(q["query"], q["mode"], q["k"]) == e_full.search(
+            q["query"], q["mode"], q["k"]
+        )

@@ -57,6 +57,7 @@ SQL_CHECKED = [
     "dedup_exact",
     "dedup_normalized",
     "decontam",
+    "bm25_extend",
     "repetition_stats",
     "pii_scrub",
     "lm_score",

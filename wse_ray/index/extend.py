@@ -1,0 +1,446 @@
+"""Incremental index extension — ingest a new crawl batch into an existing
+index without rebuilding from scratch.
+
+This is the daily operation of a production index at 100 TB: the corpus
+grows by a delta (a new crawl, a new dump partition) and re-tokenizing /
+re-exchanging the base corpus for every delta is unaffordable.  The build's
+storage-is-the-shuffle layout makes extension natural: the ``runs/``
+checkpoint, the ``postings/`` exchange and the ``parts/`` segments are all
+durable, so an extension only ADDS to them.
+
+Two strategies, chosen by the index's ``partition_by`` layout:
+
+* ``doc`` (append-only, O(delta) work): the delta's contiguous docID range
+  [N_old, N_old+M) maps to BRAND-NEW partitions — base parts are never
+  touched.  Phase 1 tokenizes only the delta (runs files append into
+  ``runs/``; their filenames are keyed by min docID, so they cannot collide
+  with base files and a retry overwrites rather than duplicates).  Phase 2
+  exchanges only the delta postings into new ``postings/part=K`` dirs;
+  phase 3 encodes only those.  Serving stays exact for the exhaustive and
+  conjunctive modes because every per-posting score is computed at query
+  time from the (updated) global stats and the summed segment dfs.  The
+  ONE thing that goes stale is the baked per-chunk BM25 upper bound in the
+  BASE parts: idf = ln((N-df+.5)/(df+.5)) grows with N, so a bound computed
+  at N_old is no longer an upper bound at N_new and MaxScore pruning over
+  it would be unsound.  The manifest records ``stale_ubs: true`` and the
+  query engine silently serves ``disjunctive_pruned`` as exhaustive until
+  ``refresh_bounds`` re-encodes (results identical either way — pruning is
+  an optimization, never a semantic).
+
+* ``term`` (delta exchange + re-encode, fresh bounds): delta postings rows
+  are routed with the SAME assigner params as the base build (hash(term)%P;
+  heavy terms keep the base heavy list, their >=N_old docIDs clip into the
+  last docID sub-segment — routing is correctness-neutral, segments stay
+  docID-disjoint per term) and appended as extra files into the existing
+  ``postings/part=K`` dirs; phase 3 then re-encodes every partition from
+  its (base + delta) rows with the NEW stats, so chunk bounds are exact
+  and pruned mode needs no gate.  Cost: re-encode of all partitions — but
+  never re-tokenize, never re-exchange the base.
+
+Both strategies serve BIT-IDENTICAL search results to a from-scratch
+rebuild of the concatenated corpus (tests/test_extend.py pins this for
+every query mode, single-node and sharded).
+
+Resume: each extension generation keeps its phase markers under
+``ext_genNNN/``; an interrupted extension is resumed by calling
+``extend_index`` again with the same delta corpus (a corpus fingerprint is
+stamped and verified).  ``stats.json`` is always recomputed as
+base stats + the sum of all completed generations' durable delta stats, so
+a crash between phases can never double-count.
+"""
+from __future__ import annotations
+
+import glob
+import hashlib
+import json
+import os
+import shutil
+from functools import partial
+from typing import Callable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..config import BuildConfig
+from ..stages.tokenize_stage import explode_postings
+from .build import (
+    AssignPart,
+    TokenizeWriteRuns,
+    _compact_part_task,
+    _encode_part_task,
+)
+
+
+def _flag(path: str) -> bool:
+    return os.path.exists(path)
+
+
+def _touch(path: str) -> None:
+    with open(path, "w") as f:
+        f.write("ok\n")
+
+
+def _corpus_fingerprint(corpus) -> str:
+    """Stable id of a delta corpus: file list + row counts for parquet
+    paths, the callable's qualname for callables (best effort)."""
+    if callable(corpus):
+        return f"callable:{getattr(corpus, '__qualname__', repr(corpus))}"
+    from ..sources.corpus import list_corpus_files, rowgroup_specs
+
+    specs = rowgroup_specs(list_corpus_files(corpus))
+    h = hashlib.md5()
+    for s in specs:
+        h.update(f"{os.path.basename(s['path'])}:{s['rows']};".encode())
+    return h.hexdigest()
+
+
+def _load_json(path: str) -> dict:
+    with open(path) as f:
+        return json.load(f)
+
+
+def _dump_json(obj: dict, path: str) -> None:
+    with open(path, "w") as f:
+        json.dump(obj, f, indent=1)
+
+
+def _fold_stats(base: dict, deltas: list[dict]) -> dict:
+    n = base["N"] + sum(d["n"] for d in deltas)
+    total = base["total_dl"] + sum(d["sum_dl"] for d in deltas)
+    max_dl = max([base["max_dl"]] + [d["max_dl"] for d in deltas])
+    return {
+        "N": n,
+        "total_dl": total,
+        # same double -> uint32 truncation as build_index
+        "avgdl": int(total / n) if n else 0,
+        "max_dl": max_dl,
+    }
+
+
+def _delta_run_files(runs_dir: str, lo: int) -> list[str]:
+    """Run files whose min docID >= ``lo`` — exactly the current
+    generation's files (earlier docIDs are base/earlier gens; later gens
+    do not exist while this one is in flight)."""
+    out = []
+    for p in sorted(glob.glob(os.path.join(runs_dir, "run-*.parquet"))):
+        base = int(os.path.basename(p)[len("run-"):-len(".parquet")])
+        if base >= lo:
+            out.append(p)
+    return out
+
+
+def _formula_ranges(n: int, P: int, lo: int = 0, parts0: int = 0) -> dict[str, list[int]]:
+    """Contiguous docID ranges of ``P`` partitions over [lo, lo+n) —
+    the exact inverse of the (docID - lo) * P // n assignment."""
+    out = {}
+    for p in range(P):
+        a = lo + (p * n + P - 1) // P
+        b = lo + ((p + 1) * n + P - 1) // P
+        out[str(parts0 + p)] = [a, b]
+    return out
+
+
+class _AssignDeltaPartByDoc:
+    """Shuffle key for a doc-layout delta: contiguous ranges of the delta's
+    docID span [lo, hi) map onto ``P`` brand-new partitions starting at
+    ``part0`` — base partitions are never written to."""
+
+    def __init__(self, part0: int, P: int, lo: int, hi: int):
+        self.part0, self.P, self.lo, self.n = part0, P, lo, max(1, hi - lo)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        d = batch["docID"].to_numpy().astype(np.int64)
+        part = self.part0 + np.minimum((d - self.lo) * self.P // self.n, self.P - 1)
+        return batch.append_column("part", pa.array(part, pa.int64()))
+
+
+def extend_index(
+    index_dir: str,
+    corpus: str | list[str] | Callable[[], "ray.data.Dataset"],  # noqa: F821
+    delta_partitions: int | None = None,
+) -> dict:
+    """Ingest ``corpus`` as the next generation of an existing index.
+
+    Parquet corpora are enumerated with docIDs starting at the index's
+    current N; a callable corpus must attach globally-correct docIDs
+    itself (contiguous, starting at current N — asserted).
+    ``delta_partitions`` (doc layout only) overrides the number of new
+    partitions; default keeps delta partition sizes ~equal to base ones.
+    Returns the updated manifest.
+    """
+    import ray
+    import ray.data
+
+    manifest_path = os.path.join(index_dir, "manifest.json")
+    manifest = _load_json(manifest_path)
+    cfg = BuildConfig(**manifest["config"])
+    stats_path = os.path.join(index_dir, "stats.json")
+    base_stats_path = os.path.join(index_dir, "stats_base.json")
+    if not os.path.exists(base_stats_path):
+        # first extension: preserve the original build's stats as the fold
+        # base (stats.json becomes a derived value from here on)
+        shutil.copyfile(stats_path, base_stats_path)
+    base_stats = _load_json(base_stats_path)
+
+    # ---- generation discovery / resume ------------------------------------
+    fingerprint = _corpus_fingerprint(corpus)
+    done_exts = [e for e in manifest.get("extensions", [])]
+    prior_deltas: list[dict] = []
+    gen = 1
+    for e in done_exts:
+        prior_deltas.append(e["delta_stats"])
+        gen = e["gen"] + 1
+    gen_dir = os.path.join(index_dir, f"ext_gen{gen:03d}")
+    corpus_stamp = os.path.join(gen_dir, "corpus.json")
+    if os.path.exists(corpus_stamp):
+        stamped = _load_json(corpus_stamp)["fingerprint"]
+        if stamped != fingerprint:
+            raise ValueError(
+                f"generation {gen} is mid-flight for a different corpus "
+                f"({stamped} != {fingerprint}); finish or remove {gen_dir}"
+            )
+    os.makedirs(gen_dir, exist_ok=True)
+    _dump_json({"fingerprint": fingerprint}, corpus_stamp)
+
+    n_before = base_stats["N"] + sum(d["n"] for d in prior_deltas)
+    runs_dir = os.path.join(index_dir, "runs")
+    postings_dir = os.path.join(index_dir, "postings")
+    parts_root = os.path.join(index_dir, "parts")
+
+    # ---- phase 1: tokenize the delta into runs/ ---------------------------
+    p1_marker = os.path.join(gen_dir, "phase_runs.done")
+    delta_stats_path = os.path.join(gen_dir, "delta_stats.json")
+    if not _flag(p1_marker):
+        # retry hygiene: drop any partial delta run files (filenames key on
+        # min docID, so >= n_before means "this generation")
+        for p in _delta_run_files(runs_dir, n_before):
+            os.remove(p)
+        tok = TokenizeWriteRuns(
+            runs_dir,
+            cfg.tokenizer_mode,
+            manifest.get("heavy_df_threshold", 1 << 62),  # heavy list is frozen
+            approx_docs=0,
+        )
+        if callable(corpus):
+            ds = corpus().map_batches(
+                tok, batch_format="pyarrow", batch_size=cfg.tokenize_batch_size
+            )
+        else:
+            from ..sources.corpus import list_corpus_files, rowgroup_specs
+
+            specs = rowgroup_specs(list_corpus_files(corpus))
+
+            def fused(spec: pa.Table, _tok=tok) -> pa.Table:
+                path = spec["path"][0].as_py()
+                rg = spec["row_group"][0].as_py()
+                base = spec["base"][0].as_py() + n_before  # offset into the index
+                t = pq.ParquetFile(path).read_row_group(rg, columns=["url", "text"])
+                docids = pa.array(
+                    np.arange(base, base + t.num_rows, dtype=np.uint64), pa.uint64()
+                )
+                return _tok(t.append_column("docID", docids))
+
+            ds = ray.data.from_items(specs).map_batches(
+                fused, batch_size=1, batch_format="pyarrow"
+            )
+        partials = ds.to_pandas()
+        delta = {
+            "n": int(partials["n"].sum()),
+            "sum_dl": int(partials["sum_dl"].sum()),
+            "max_dl": int(partials["max_dl"].max()) if len(partials) else 0,
+        }
+        if callable(corpus) and delta["n"]:
+            # a callable owns its docIDs: verify they continue the index
+            # (every tokenized row must have landed in a >= n_before file)
+            files = _delta_run_files(runs_dir, n_before)
+            n_file_rows = sum(pq.ParquetFile(p).metadata.num_rows for p in files)
+            if n_file_rows != delta["n"]:
+                raise ValueError(
+                    f"callable delta corpus docIDs must be contiguous and "
+                    f">= {n_before}: {n_file_rows} rows landed in the "
+                    f"delta docID range, {delta['n']} were tokenized"
+                )
+        _dump_json(delta, delta_stats_path)
+        _touch(p1_marker)
+    delta_stats = _load_json(delta_stats_path)
+    m = delta_stats["n"]
+    new_stats = _fold_stats(base_stats, prior_deltas + [delta_stats])
+    _dump_json(new_stats, stats_path)
+    if m == 0:  # empty delta: record the generation and return
+        record = {"gen": gen, "kind": cfg.partition_by, "delta_stats": delta_stats,
+                  "doc_lo": n_before, "doc_hi": n_before, "parts": []}
+        manifest["extensions"] = done_exts + [record]
+        manifest["stats"] = new_stats
+        _dump_json(manifest, manifest_path)
+        _touch(os.path.join(gen_dir, "done"))
+        return manifest
+
+    delta_files = _delta_run_files(runs_dir, n_before)
+
+    def _delta_posts():
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        return ray.data.read_parquet(
+            delta_files,
+            columns=["docID", "dataLen", "terms", "tfs"],
+            override_num_blocks=max(2, 2 * ncpu),
+        ).map_batches(explode_postings, batch_format="pyarrow")
+
+    p2_marker = os.path.join(gen_dir, "phase_postings.done")
+    p3_marker = os.path.join(gen_dir, "phase_parts.done")
+
+    if cfg.partition_by == "doc":
+        # ---- doc layout: delta -> brand-new partitions --------------------
+        part0 = cfg.num_partitions + sum(len(e["parts"]) for e in done_exts)
+        if delta_partitions is None:
+            # keep delta partitions ~the size of base ones
+            per_part = max(1, base_stats["N"] // cfg.num_partitions)
+            delta_partitions = max(1, (m + per_part - 1) // per_part)
+        new_parts = list(range(part0, part0 + delta_partitions))
+        staging = os.path.join(gen_dir, "postings")
+        if not _flag(p2_marker):
+            shutil.rmtree(staging, ignore_errors=True)
+            for p in new_parts:  # retry hygiene: partial moves + encodes
+                shutil.rmtree(os.path.join(postings_dir, f"part={p}"), ignore_errors=True)
+                shutil.rmtree(os.path.join(parts_root, f"part={p:05d}"), ignore_errors=True)
+            assigner = _AssignDeltaPartByDoc(
+                part0, delta_partitions, n_before, n_before + m
+            )
+            _delta_posts().map_batches(assigner, batch_format="pyarrow").write_parquet(
+                staging, partition_cols=["part"], compression="zstd"
+            )
+            if cfg.compact_min_fragments:
+                cspecs = [
+                    {"src": d}
+                    for d in sorted(glob.glob(os.path.join(staging, "part=*")))
+                ]
+                ray.data.from_items(cspecs).map_batches(
+                    partial(_compact_part_task, min_fragments=cfg.compact_min_fragments),
+                    batch_size=1,
+                    batch_format="pyarrow",
+                ).to_pandas()
+            for d in sorted(glob.glob(os.path.join(staging, "part=*"))):
+                os.rename(d, os.path.join(postings_dir, os.path.basename(d)))
+            _touch(p2_marker)
+        if not _flag(p3_marker):
+            specs = [
+                {"src": os.path.join(postings_dir, f"part={p}"), "part": p}
+                for p in new_parts
+                if os.path.isdir(os.path.join(postings_dir, f"part={p}"))
+            ]
+            if specs:
+                ray.data.from_items(specs).map_batches(
+                    partial(_encode_part_task, out_dir=index_dir, stats=new_stats),
+                    batch_size=1,
+                    batch_format="pyarrow",
+                ).to_pandas()
+            _touch(p3_marker)
+        ranges = _formula_ranges(base_stats["N"], cfg.num_partitions)
+        for e in done_exts:
+            if e["parts"]:
+                ranges.update(
+                    _formula_ranges(
+                        e["doc_hi"] - e["doc_lo"], len(e["parts"]), e["doc_lo"],
+                        min(int(p) for p in e["parts"]),
+                    )
+                )
+        ranges.update(_formula_ranges(m, delta_partitions, n_before, part0))
+        manifest["doc_ranges"] = ranges
+        # base parts' baked chunk bounds were computed at the old N/avgdl;
+        # idf grows with N, so they are no longer sound upper bounds
+        manifest["stale_ubs"] = True
+        record_parts = new_parts
+    else:
+        # ---- term layout: delta exchange + full re-encode -----------------
+        heavy_terms = pq.read_table(os.path.join(index_dir, "heavy.parquet"))[
+            "term"
+        ].to_pylist()
+        staging = os.path.join(gen_dir, "postings")
+        if not _flag(p2_marker):
+            shutil.rmtree(staging, ignore_errors=True)
+            for p in glob.glob(  # retry hygiene: this gen's appended files
+                os.path.join(postings_dir, "part=*", f"delta{gen:03d}-*.parquet")
+            ):
+                os.remove(p)
+            # base assigner params (incl. the base N for heavy docID-range
+            # splitting): delta docIDs >= N_old clip into the last heavy
+            # sub-segment — routing-neutral, keeps segments docID-disjoint
+            assigner = AssignPart(
+                cfg.num_partitions, cfg.heavy_subparts, heavy_terms, base_stats["N"]
+            )
+            _delta_posts().map_batches(assigner, batch_format="pyarrow").write_parquet(
+                staging, partition_cols=["part"], compression="zstd"
+            )
+            for d in sorted(glob.glob(os.path.join(staging, "part=*"))):
+                dst = os.path.join(postings_dir, os.path.basename(d))
+                os.makedirs(dst, exist_ok=True)
+                for i, f in enumerate(sorted(glob.glob(os.path.join(d, "*.parquet")))):
+                    os.rename(f, os.path.join(dst, f"delta{gen:03d}-{i:05d}.parquet"))
+            _touch(p2_marker)
+        cleared = os.path.join(gen_dir, "parts_cleared.done")
+        if not _flag(p3_marker):
+            if not _flag(cleared):
+                # chunk bounds must be recomputed with the new stats, and a
+                # partition's single term segment must absorb the delta rows
+                # -> every partition re-encodes (resumable per part)
+                for d in glob.glob(os.path.join(parts_root, "part=*")):
+                    shutil.rmtree(d, ignore_errors=True)
+                _touch(cleared)
+            specs = [
+                {"src": d, "part": int(os.path.basename(d).split("=")[1])}
+                for d in sorted(glob.glob(os.path.join(postings_dir, "part=*")))
+            ]
+            enc_kwargs = {}
+            if cfg.encode_concurrency:
+                enc_kwargs["concurrency"] = cfg.encode_concurrency
+            ray.data.from_items(specs).map_batches(
+                partial(_encode_part_task, out_dir=index_dir, stats=new_stats),
+                batch_size=1,
+                batch_format="pyarrow",
+                **enc_kwargs,
+            ).to_pandas()
+            _touch(p3_marker)
+        manifest["stale_ubs"] = False  # bounds re-baked with the new stats
+        record_parts = []
+
+    record = {
+        "gen": gen,
+        "kind": cfg.partition_by,
+        "delta_stats": delta_stats,
+        "doc_lo": n_before,
+        "doc_hi": n_before + m,
+        "parts": record_parts,
+    }
+    manifest["extensions"] = done_exts + [record]
+    manifest["stats"] = new_stats
+    _dump_json(manifest, manifest_path)
+    _touch(os.path.join(gen_dir, "done"))
+    return manifest
+
+
+def refresh_bounds(index_dir: str) -> None:
+    """Re-encode every partition from the durable postings exchange with the
+    CURRENT stats, restoring sound per-chunk BM25 upper bounds after doc-
+    layout extensions (clears ``stale_ubs``; pruned mode is exact again)."""
+    import ray
+    import ray.data
+
+    manifest_path = os.path.join(index_dir, "manifest.json")
+    manifest = _load_json(manifest_path)
+    if not manifest.get("stale_ubs"):
+        return
+    stats = _load_json(os.path.join(index_dir, "stats.json"))
+    parts_root = os.path.join(index_dir, "parts")
+    for d in glob.glob(os.path.join(parts_root, "part=*")):
+        shutil.rmtree(d, ignore_errors=True)
+    specs = [
+        {"src": d, "part": int(os.path.basename(d).split("=")[1])}
+        for d in sorted(glob.glob(os.path.join(index_dir, "postings", "part=*")))
+    ]
+    ray.data.from_items(specs).map_batches(
+        partial(_encode_part_task, out_dir=index_dir, stats=stats),
+        batch_size=1,
+        batch_format="pyarrow",
+    ).to_pandas()
+    manifest["stale_ubs"] = False
+    _dump_json(manifest, manifest_path)

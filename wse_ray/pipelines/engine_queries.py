@@ -325,6 +325,71 @@ def q_bm25_disjunctive(sf_dir: str) -> pd.DataFrame:
     return _bm25_results(sf_dir, DISJ_QUERIES, "disjunctive")
 
 
+_EXTEND_CACHE: dict[str, SearchEngine] = {}
+
+
+def q_bm25_extend(sf_dir: str) -> pd.DataFrame:
+    """Incremental ingestion end-to-end: build a doc-layout index over the
+    FIRST 60% of documents, ``extend_index`` it with the remaining 40%
+    (index/extend.py — delta-only tokenize/exchange/encode into new
+    partitions), then serve the fixed disjunctive query set.  Must match
+    the same DuckDB oracle as ``bm25_disjunctive`` over the full table —
+    the extension is exact, not approximate."""
+    import json
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from ..index.extend import extend_index
+
+    if sf_dir not in _EXTEND_CACHE:
+        out = _index_dir(sf_dir) + "_ext"
+        n = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+        split = int(n * 0.6)
+
+        def _slice(lo: int, hi: int):
+            def corpus():
+                def f(t: pa.Table) -> pa.Table:
+                    ids = t["docID"].to_numpy(zero_copy_only=False).astype(np.int64)
+                    return t.filter(pa.array((ids >= lo) & (ids < hi)))
+
+                return corpus_from_documents_table(sf_dir).map_batches(
+                    f, batch_format="pyarrow"
+                )
+
+            return corpus
+
+        manifest_path = os.path.join(out, "manifest.json")
+        fresh = True
+        if os.path.exists(manifest_path):
+            try:
+                with open(manifest_path) as f:
+                    mf = json.load(f)
+                done = os.path.exists(os.path.join(out, "ext_gen001", "done"))
+                fresh = not (mf.get("extensions") and done)
+            except (OSError, ValueError):
+                fresh = True
+        if fresh:
+            shutil.rmtree(out, ignore_errors=True)
+            build_index(
+                _slice(0, split),
+                out,
+                BuildConfig(num_partitions=3, partition_by="doc", tokenizer_mode="simple"),
+            )
+            extend_index(out, _slice(split, n))
+        _EXTEND_CACHE[sf_dir] = SearchEngine(out)
+    eng = _EXTEND_CACHE[sf_dir]
+    rows = []
+    for qid, q in DISJ_QUERIES:
+        res = [(int(d), round(float(s), 6)) for d, s in eng.search(q, "disjunctive", TOP_K + 20)]
+        res.sort(key=lambda r: (-r[1], r[0]))
+        for rank, (d, s) in enumerate(res[:TOP_K], 1):
+            rows.append((qid, rank, d, s))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"]).astype(
+        {"query_id": np.int64, "rank": np.int64, "doc_id": np.int64, "score": float}
+    )
+
+
 _SHARDED_CACHE: dict[str, object] = {}
 
 

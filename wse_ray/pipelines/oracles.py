@@ -943,6 +943,7 @@ def oracle_sql_map() -> dict[str, str]:
         "bm25_disjunctive": sql_bm25_disjunctive(),
         "bm25_conjunctive": sql_bm25_conjunctive(),
         "bm25_sharded": sql_bm25_disjunctive(),
+        "bm25_extend": sql_bm25_disjunctive(),
         "bm25_trec": sql_bm25_trec(),
         "search_snippets": sql_search_snippets(),
         "dedup_simhash": sql_dedup_simhash(),

@@ -59,6 +59,16 @@ class SearchEngine:
         self.index_dir = index_dir
         self.doc_lo, self.doc_hi = doc_range if doc_range else (0, self.N)
         self._df_global: dict[bytes, int] | None = None
+        # a doc-layout extension (index/extend.py) leaves the BASE parts'
+        # baked chunk upper bounds stale (idf grows with N) — pruning over
+        # them would be unsound, so pruned mode falls back to exhaustive
+        # (identical results) until refresh_bounds() re-encodes
+        self._stale_ubs = False
+        try:
+            with open(os.path.join(index_dir, "manifest.json")) as f:
+                self._stale_ubs = bool(json.load(f).get("stale_ubs", False))
+        except (OSError, ValueError):
+            pass
 
         lex_files = sorted(
             glob.glob(os.path.join(index_dir, "parts", "part=*", "lexicon.parquet"))
@@ -248,6 +258,8 @@ class SearchEngine:
         if mode == "disjunctive":
             return self._disjunctive(words, k)
         if mode == "disjunctive_pruned":
+            if self._stale_ubs:  # extended index: bounds unsound, see __init__
+                return self._disjunctive(words, k)
             return self._disjunctive_pruned(words, k)
         return self._conjunctive(words, k)
 

@@ -70,15 +70,23 @@ class ShardedSearchEngine:
         part_dirs = sorted(glob.glob(os.path.join(index_dir, "parts", "part=*")))
         parts = [int(os.path.basename(d).split("=")[1]) for d in part_dirs]
         P = manifest["config"]["num_partitions"]
+        # an extended index (index/extend.py) appends delta partitions whose
+        # ranges don't follow the base formula at the NEW N — the manifest
+        # then records every part's range explicitly
+        explicit = manifest.get("doc_ranges")
         self.shards = []
         self.doc_ranges: list[tuple[int, int]] = []
         for p in parts:
-            # Exact inverse of AssignPartByDoc's part = docID * P // N:
-            # part p owns docIDs in [ceil(p*N/P), ceil((p+1)*N/P)).  A floor
-            # here (p*N//P) would claim the boundary doc of shard p-1 when
-            # N % P != 0, making that doc a spurious zero-score hit in p.
-            lo = (p * self.N + P - 1) // P
-            hi = ((p + 1) * self.N + P - 1) // P
+            if explicit is not None:
+                lo, hi = explicit[str(p)]
+            else:
+                # Exact inverse of AssignPartByDoc's part = docID * P // N:
+                # part p owns docIDs in [ceil(p*N/P), ceil((p+1)*N/P)).  A
+                # floor here (p*N//P) would claim the boundary doc of shard
+                # p-1 when N % P != 0, making that doc a spurious zero-score
+                # hit in p.
+                lo = (p * self.N + P - 1) // P
+                hi = ((p + 1) * self.N + P - 1) // P
             self.doc_ranges.append((lo, hi))
             self.shards.append(
                 ShardWorker.remote(index_dir, [p], (lo, hi))
