@@ -125,3 +125,48 @@ def test_unblocked_hw2_format_bytes_and_roundtrip():
     dd, ff = decode_postings_unblocked(encode_postings_unblocked(d, f))
     assert dd.tolist() == d.tolist() and ff.tolist() == f.tolist()
     assert decode_postings_unblocked(encode_postings_unblocked(np.array([]), np.array([])))[0].size == 0
+
+
+def test_encode_segments_byte_identical_to_per_segment():
+    """The partition-wide vectorized encoder (codec.encode_segments, used
+    by index/build.py encode_partition) must produce byte-for-byte the
+    concatenation of per-segment encode_posting_list calls, with matching
+    per-segment offsets/lengths — across short segments, a multi-block
+    heavy segment (30k postings), and a single-posting segment."""
+    import numpy as np
+    from wse_ray.codec import (
+        POSTINGS_IN_CHUNK,
+        encode_posting_list,
+        encode_segments,
+    )
+
+    rng = np.random.default_rng(42)
+    for nseg, max_len, big in [(50, 20, None), (30, 200, None), (3, 10, 30_000), (1, 2, None)]:
+        starts, ends, d, t, l, ubs = [], [], [], [], [], []
+        pos = 0
+        for s in range(nseg):
+            m = big if (big is not None and s == 0) else int(rng.integers(1, max_len))
+            ids = np.sort(rng.choice(10**7, size=m, replace=False)).astype(np.uint64)
+            starts.append(pos)
+            ends.append(pos + m)
+            pos += m
+            d.append(ids)
+            t.append(rng.integers(1, 300, size=m).astype(np.uint64))
+            l.append(rng.integers(1, 5000, size=m).astype(np.uint64))
+            nch = (m + POSTINGS_IN_CHUNK - 1) // POSTINGS_IN_CHUNK
+            ubs.append(rng.random(nch).astype(np.float32))
+        dd, tt, ll = np.concatenate(d), np.concatenate(t), np.concatenate(l)
+        sa, ea = np.array(starts), np.array(ends)
+        pay, meta = encode_segments(dd, tt, ll, sa, ea, np.concatenate(ubs))
+        ref = bytearray()
+        offs, lens = [], []
+        for s in range(nseg):
+            buf = encode_posting_list(
+                dd[sa[s]:ea[s]], tt[sa[s]:ea[s]], ll[sa[s]:ea[s]], chunk_ubs=ubs[s]
+            )
+            offs.append(len(ref))
+            lens.append(len(buf))
+            ref += buf
+        assert bytes(ref) == pay
+        assert meta["offset"].tolist() == offs
+        assert meta["length"].tolist() == lens

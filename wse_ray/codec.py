@@ -186,6 +186,124 @@ def encode_posting_list(
     return bytes(out)
 
 
+def chunk_heads(seg_starts: np.ndarray, seg_ends: np.ndarray) -> np.ndarray:
+    """Row indices where a new chunk begins, across MANY concatenated
+    segments (every segment restarts chunking at its first row)."""
+    seg_len = seg_ends - seg_starts
+    n = int(seg_len.sum())
+    within = np.arange(n, dtype=np.int64) - np.repeat(seg_starts, seg_len)
+    return np.flatnonzero(within % POSTINGS_IN_CHUNK == 0)
+
+
+def encode_segments(
+    docids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    seg_starts: np.ndarray,
+    seg_ends: np.ndarray,
+    chunk_ubs: np.ndarray,
+) -> tuple[bytes, dict[str, np.ndarray]]:
+    """Encode MANY term segments in one vectorized pass.
+
+    Byte-identical to concatenating ``encode_posting_list`` per segment
+    (property-pinned in tests/test_codec.py), but the three varbyte
+    streams are encoded ONCE for the whole partition instead of once per
+    segment — on a high-vocab corpus (millions of short posting lists per
+    partition) the per-segment fixed numpy overhead dominated the encode
+    phase, and this removes it: the only remaining per-unit Python work is
+    one loop over CHUNKS (n_postings/64) for the reference's greedy block
+    accounting, and one over blocks for assembly.
+
+    ``chunk_ubs``: float32 per chunk, in ``chunk_heads`` order.  Returns
+    (payload, per-segment arrays: offset, length, n_chunks, n_blocks).
+    """
+    docids = np.asarray(docids, dtype=np.uint64)
+    tfs = np.asarray(tfs, dtype=np.uint64)
+    dls = np.asarray(dls, dtype=np.uint64)
+    n = len(docids)
+    nseg = len(seg_starts)
+    empty = {
+        "offset": np.zeros(nseg, np.int64),
+        "length": np.zeros(nseg, np.int64),
+        "n_chunks": np.zeros(nseg, np.int64),
+        "n_blocks": np.zeros(nseg, np.int64),
+    }
+    if n == 0 or nseg == 0:
+        return b"", empty
+    seg_len = (seg_ends - seg_starts).astype(np.int64)
+    seg_of = np.repeat(np.arange(nseg, dtype=np.int64), seg_len)
+    ch = chunk_heads(seg_starts, seg_ends)
+
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[0] = docids[0]
+    deltas[1:] = docids[1:] - docids[:-1]
+    deltas[ch] = docids[ch]  # absolute at every chunk head
+    d_pay, d_lens = varbyte_encode(deltas)
+    t_pay, t_lens = varbyte_encode(tfs)
+    l_pay, l_lens = varbyte_encode(dls)
+
+    chunk_seg = seg_of[ch]
+    chunk_last = np.minimum(ch + POSTINGS_IN_CHUNK - 1, seg_ends[chunk_seg] - 1)
+    dcum = np.concatenate(([0], np.cumsum(d_lens)))
+    tcum = np.concatenate(([0], np.cumsum(t_lens)))
+    lcum = np.concatenate(([0], np.cumsum(l_lens)))
+    d_off, d_sz = dcum[ch], (dcum[chunk_last + 1] - dcum[ch]).astype(np.uint32)
+    t_off, t_sz = tcum[ch], (tcum[chunk_last + 1] - tcum[ch]).astype(np.uint32)
+    l_off, l_sz = lcum[ch], (lcum[chunk_last + 1] - lcum[ch]).astype(np.uint32)
+    last_docid = docids[chunk_last]
+    ubs = np.asarray(chunk_ubs, dtype=np.float32)
+    newsize = 24 + d_sz.astype(np.int64) + t_sz.astype(np.int64) + l_sz.astype(np.int64)
+
+    # greedy block packing, reference accounting (hw3/Lexicon.cpp:149-167):
+    # a block always takes at least one chunk; a new segment starts a new
+    # block.  One python iteration per CHUNK of the partition.
+    nchunks = len(ch)
+    sizes = newsize.tolist()  # plain ints: no numpy scalar overhead in the loop
+    segl = chunk_seg.tolist()
+    blocks: list[tuple[int, int, int]] = []  # (seg, chunk_lo, chunk_hi)
+    c = 0
+    while c < nchunks:
+        seg = segl[c]
+        lo = c
+        nowbyte = 4
+        while c < nchunks and segl[c] == seg:
+            if nowbyte + sizes[c] > BLOCK_SIZE and c > lo:
+                break
+            nowbyte += sizes[c]
+            c += 1
+        blocks.append((seg, lo, c))
+
+    out = bytearray()
+    mv_d, mv_t, mv_l = memoryview(d_pay), memoryview(t_pay), memoryview(l_pay)
+    seg_offset = np.zeros(nseg, np.int64)
+    seg_length = np.zeros(nseg, np.int64)
+    seg_blocks = np.zeros(nseg, np.int64)
+    prev_seg = -1
+    for seg, blo, bhi in blocks:
+        if seg != prev_seg:
+            seg_offset[seg] = len(out)
+            prev_seg = seg
+        m = bhi - blo
+        out += np.uint32(m).tobytes()
+        out += last_docid[blo:bhi].tobytes()
+        out += d_sz[blo:bhi].tobytes()
+        out += t_sz[blo:bhi].tobytes()
+        out += l_sz[blo:bhi].tobytes()
+        out += ubs[blo:bhi].tobytes()
+        for c in range(blo, bhi):
+            out += mv_d[d_off[c] : d_off[c] + int(d_sz[c])]
+            out += mv_t[t_off[c] : t_off[c] + int(t_sz[c])]
+            out += mv_l[l_off[c] : l_off[c] + int(l_sz[c])]
+        seg_length[seg] = len(out) - seg_offset[seg]
+        seg_blocks[seg] += 1
+    return bytes(out), {
+        "offset": seg_offset,
+        "length": seg_length,
+        "n_chunks": np.bincount(chunk_seg, minlength=nseg).astype(np.int64),
+        "n_blocks": seg_blocks,
+    }
+
+
 def _walk_blocks(buf: memoryview):
     """Yield (last_docids, d_sizes, t_sizes, l_sizes, ubs, payload_off) per block."""
     pos = 0

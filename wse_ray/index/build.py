@@ -53,7 +53,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray.data
 
-from ..codec import count_blocks, encode_posting_list
+from ..codec import chunk_heads, encode_segments
 from ..config import BM25_B, BM25_K1, POSTINGS_IN_CHUNK, BuildConfig
 from ..stages.extract import ExtractText
 from ..stages.tokenize_stage import TokenizeDocs, explode_postings
@@ -352,31 +352,28 @@ def encode_partition(group: pa.Table, part: int, out_dir: str, stats: dict) -> p
     ends = np.concatenate((starts[1:], [n]))
 
     k1, b = BM25_K1, BM25_B
-    payload = bytearray()
-    lex_rows = {k: [] for k in (
-        "term", "df_seg", "first_docid", "last_docid",
-        "offset", "length", "n_chunks", "n_blocks",
-    )}
-    for s, e in zip(starts, ends):
-        seg_df = e - s
-        d, f, l = docids[s:e], tfs[s:e], dls[s:e]
-        # exact per-posting BM25 with segment df -> per-chunk upper bound
-        idf = np.log((N - float(seg_df) + 0.5) / (float(seg_df) + 0.5))
-        K = k1 * ((1 - b) + b * l.astype(np.float64) / avgdl)
-        scores = idf * (k1 + 1) * f.astype(np.float64) / (K + f.astype(np.float64))
-        chunk_ubs = np.maximum.reduceat(
-            scores, np.arange(0, len(scores), POSTINGS_IN_CHUNK)
-        ).astype(np.float32)
-        buf = encode_posting_list(d, f, l, chunk_ubs=chunk_ubs)
-        lex_rows["term"].append(term_col[int(s)].as_py())
-        lex_rows["df_seg"].append(int(seg_df))
-        lex_rows["first_docid"].append(int(d[0]))
-        lex_rows["last_docid"].append(int(d[-1]))
-        lex_rows["offset"].append(len(payload))
-        lex_rows["length"].append(len(buf))
-        lex_rows["n_chunks"].append((int(seg_df) + POSTINGS_IN_CHUNK - 1) // POSTINGS_IN_CHUNK)
-        lex_rows["n_blocks"].append(count_blocks(buf))
-        payload += buf
+    # exact per-posting BM25 with segment df -> per-chunk upper bound,
+    # computed for the WHOLE partition in one vectorized pass (seg_df per
+    # row via repeat; chunk heads restart per segment)
+    seg_df_arr = (ends - starts).astype(np.int64)
+    seg_df_row = np.repeat(seg_df_arr, seg_df_arr).astype(np.float64)
+    idf = np.log((N - seg_df_row + 0.5) / (seg_df_row + 0.5))
+    K = k1 * ((1 - b) + b * dls.astype(np.float64) / avgdl)
+    f64 = tfs.astype(np.float64)
+    scores = idf * (k1 + 1) * f64 / (K + f64)
+    ch = chunk_heads(starts, ends)
+    chunk_ubs = np.maximum.reduceat(scores, ch).astype(np.float32) if len(ch) else np.zeros(0, np.float32)
+    payload, seg_meta = encode_segments(docids, tfs, dls, starts, ends, chunk_ubs)
+    lex_rows = {
+        "term": term_col.take(pa.array(starts)),
+        "df_seg": seg_df_arr,
+        "first_docid": docids[starts],
+        "last_docid": docids[ends - 1],
+        "offset": seg_meta["offset"],
+        "length": seg_meta["length"],
+        "n_chunks": seg_meta["n_chunks"],
+        "n_blocks": seg_meta["n_blocks"],
+    }
 
     tmp_dir = part_dir + ".tmp"
     shutil.rmtree(tmp_dir, ignore_errors=True)
@@ -384,7 +381,14 @@ def encode_partition(group: pa.Table, part: int, out_dir: str, stats: dict) -> p
     with open(os.path.join(tmp_dir, "postings.bin"), "wb") as f:
         f.write(bytes(payload))
     lex = pa.table(
-        {k: pa.array(v, LEXICON_SCHEMA.field(k).type) for k, v in lex_rows.items()}
+        {
+            k: (
+                v.cast(LEXICON_SCHEMA.field(k).type)
+                if isinstance(v, (pa.Array, pa.ChunkedArray))
+                else pa.array(v, LEXICON_SCHEMA.field(k).type)
+            )
+            for k, v in lex_rows.items()
+        }
     )
     pq.write_table(lex, os.path.join(tmp_dir, "lexicon.parquet"))
     metrics = {

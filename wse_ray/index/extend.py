@@ -169,9 +169,12 @@ def extend_index(
     partitions; default keeps delta partition sizes ~equal to base ones.
     Returns the updated manifest.
     """
+    import time
+
     import ray
     import ray.data
 
+    timings: dict[str, float] = {}
     manifest_path = os.path.join(index_dir, "manifest.json")
     manifest = _load_json(manifest_path)
     cfg = BuildConfig(**manifest["config"])
@@ -212,6 +215,7 @@ def extend_index(
     p1_marker = os.path.join(gen_dir, "phase_runs.done")
     delta_stats_path = os.path.join(gen_dir, "delta_stats.json")
     if not _flag(p1_marker):
+        t0 = time.perf_counter()
         # retry hygiene: drop any partial delta run files (filenames key on
         # min docID, so >= n_before means "this generation")
         for p in _delta_run_files(runs_dir, n_before):
@@ -263,6 +267,7 @@ def extend_index(
                 )
         _dump_json(delta, delta_stats_path)
         _touch(p1_marker)
+        timings["runs"] = time.perf_counter() - t0
     delta_stats = _load_json(delta_stats_path)
     m = delta_stats["n"]
     new_stats = _fold_stats(base_stats, prior_deltas + [delta_stats])
@@ -299,6 +304,7 @@ def extend_index(
         new_parts = list(range(part0, part0 + delta_partitions))
         staging = os.path.join(gen_dir, "postings")
         if not _flag(p2_marker):
+            t0 = time.perf_counter()
             shutil.rmtree(staging, ignore_errors=True)
             for p in new_parts:  # retry hygiene: partial moves + encodes
                 shutil.rmtree(os.path.join(postings_dir, f"part={p}"), ignore_errors=True)
@@ -322,7 +328,9 @@ def extend_index(
             for d in sorted(glob.glob(os.path.join(staging, "part=*"))):
                 os.rename(d, os.path.join(postings_dir, os.path.basename(d)))
             _touch(p2_marker)
+            timings["postings"] = time.perf_counter() - t0
         if not _flag(p3_marker):
+            t0 = time.perf_counter()
             specs = [
                 {"src": os.path.join(postings_dir, f"part={p}"), "part": p}
                 for p in new_parts
@@ -335,6 +343,7 @@ def extend_index(
                     batch_format="pyarrow",
                 ).to_pandas()
             _touch(p3_marker)
+            timings["parts"] = time.perf_counter() - t0
         ranges = _formula_ranges(base_stats["N"], cfg.num_partitions)
         for e in done_exts:
             if e["parts"]:
@@ -357,6 +366,7 @@ def extend_index(
         ].to_pylist()
         staging = os.path.join(gen_dir, "postings")
         if not _flag(p2_marker):
+            t0 = time.perf_counter()
             shutil.rmtree(staging, ignore_errors=True)
             for p in glob.glob(  # retry hygiene: this gen's appended files
                 os.path.join(postings_dir, "part=*", f"delta{gen:03d}-*.parquet")
@@ -377,8 +387,10 @@ def extend_index(
                 for i, f in enumerate(sorted(glob.glob(os.path.join(d, "*.parquet")))):
                     os.rename(f, os.path.join(dst, f"delta{gen:03d}-{i:05d}.parquet"))
             _touch(p2_marker)
+            timings["postings"] = time.perf_counter() - t0
         cleared = os.path.join(gen_dir, "parts_cleared.done")
         if not _flag(p3_marker):
+            t0 = time.perf_counter()
             if not _flag(cleared):
                 # chunk bounds must be recomputed with the new stats, and a
                 # partition's single term segment must absorb the delta rows
@@ -400,6 +412,7 @@ def extend_index(
                 **enc_kwargs,
             ).to_pandas()
             _touch(p3_marker)
+            timings["parts"] = time.perf_counter() - t0
         manifest["stale_ubs"] = False  # bounds re-baked with the new stats
         record_parts = []
 
@@ -410,6 +423,7 @@ def extend_index(
         "doc_lo": n_before,
         "doc_hi": n_before + m,
         "parts": record_parts,
+        "timings_sec": {k: round(v, 3) for k, v in timings.items()},
     }
     manifest["extensions"] = done_exts + [record]
     manifest["stats"] = new_stats
@@ -422,9 +436,12 @@ def refresh_bounds(index_dir: str) -> None:
     """Re-encode every partition from the durable postings exchange with the
     CURRENT stats, restoring sound per-chunk BM25 upper bounds after doc-
     layout extensions (clears ``stale_ubs``; pruned mode is exact again)."""
+    import time
+
     import ray
     import ray.data
 
+    timings: dict[str, float] = {}
     manifest_path = os.path.join(index_dir, "manifest.json")
     manifest = _load_json(manifest_path)
     if not manifest.get("stale_ubs"):
