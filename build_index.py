@@ -4,9 +4,14 @@
     python build_index.py --corpus DIR --out DIR [--partitions 32]
         [--from-html] [--tokenizer trec|simple] [--num-cpus N]
 
+    # ingest a new crawl batch into an EXISTING index (wse_ray/index/extend.py):
+    python build_index.py --corpus NEW_DIR --out DIR --extend
+        [--refresh-bounds]
+
 Designed for ``ray job submit`` on a cluster (out dir must be shared
 storage); runs standalone locally.  Resumable: re-running skips completed
-phases and partitions.
+phases and partitions; an interrupted --extend resumes when re-run with
+the same corpus.
 """
 from __future__ import annotations
 
@@ -28,6 +33,12 @@ def main() -> None:
     ap.add_argument("--from-html", action="store_true",
                     help="re-extract text from the html column")
     ap.add_argument("--tokenizer", choices=["trec", "simple"], default="trec")
+    ap.add_argument("--extend", action="store_true",
+                    help="ingest --corpus as a new generation of the "
+                         "existing index at --out instead of building")
+    ap.add_argument("--refresh-bounds", action="store_true",
+                    help="after a doc-layout extension: re-encode all "
+                         "partitions so MaxScore pruning is exact again")
     ap.add_argument("--num-cpus", type=int, default=None)
     args = ap.parse_args()
 
@@ -49,6 +60,16 @@ def main() -> None:
 
     from wse_ray.config import BuildConfig
     from wse_ray.index.build import build_index
+
+    if args.extend:
+        from wse_ray.index.extend import extend_index, refresh_bounds
+
+        manifest = extend_index(args.out, args.corpus)
+        if args.refresh_bounds:
+            refresh_bounds(args.out)
+        print(json.dumps(manifest, indent=1))
+        ray.shutdown()
+        return
 
     manifest = build_index(
         args.corpus,
