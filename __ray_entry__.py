@@ -98,6 +98,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": eq.q_dedup_minhash,
         "dedup_ngram": eq.q_dedup_ngram,  # exact inverted-shingle-index engine
         "dedup_survivors": eq.q_dedup_survivors,  # connected-components finisher
+        # quality-aware survivor: keep the most-token member per cluster
+        "dedup_best_survivor": eq.q_dedup_best_survivor,
         "dedup_simhash": eq.q_dedup_simhash,  # pinned-golden oracle
         "dedup_embedding": eq.q_dedup_embedding,
         "ann_topk": eq.q_ann_topk,

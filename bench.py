@@ -314,6 +314,15 @@ def machine_cpu_baseline(lo: int, hi: int) -> dict:
 
 
 def scaling() -> None:
+    # the scaling measurement needs a COMPUTE-dominated build: since the
+    # partition-wide vectorized encoder, a 50k-doc build is fixed-overhead
+    # dominated at high cpu counts and under-reports scaling (Amdahl) —
+    # default to 200k docs unless the caller pinned a size explicitly
+    global BENCH_DOCS, CORPUS_DIR
+    if "WSE_BENCH_DOCS" not in os.environ:
+        BENCH_DOCS = int(os.environ.get("WSE_SCALING_DOCS", "200000"))
+        CORPUS_DIR = f"{_SCRATCH_BASE}/wse_bench_corpus_{BENCH_DOCS}"
+        os.environ["WSE_BENCH_DOCS"] = str(BENCH_DOCS)
     # pre-generate shared input + warm page cache in this process
     ensure_corpus()
 

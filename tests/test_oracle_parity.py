@@ -71,6 +71,7 @@ SQL_CHECKED = [
     "dedup_minhash",
     "dedup_ngram",
     "dedup_survivors",
+    "dedup_best_survivor",
     "lang_id",
     "multimodal_meta",
     "dedup_embedding",

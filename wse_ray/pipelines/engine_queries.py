@@ -366,7 +366,11 @@ def q_bm25_extend(sf_dir: str) -> pd.DataFrame:
                 with open(manifest_path) as f:
                     mf = json.load(f)
                 done = os.path.exists(os.path.join(out, "ext_gen001", "done"))
-                fresh = not (mf.get("extensions") and done)
+                fresh = not (
+                    mf.get("extensions")
+                    and done
+                    and mf.get("format_version") == CURRENT_FORMAT_VERSION
+                )
             except (OSError, ValueError):
                 fresh = True
         if fresh:
@@ -768,6 +772,53 @@ def q_dedup_survivors(sf_dir: str) -> pd.DataFrame:
     from ..functions.dedup import dedup_clusters
 
     return dedup_clusters(q_dedup_minhash(sf_dir))
+
+
+def q_dedup_best_survivor(sf_dir: str) -> pd.DataFrame:
+    """Quality-aware survivor selection: within each near-dup cluster keep
+    the member with the MOST tokens (tie -> lowest doc_id) instead of the
+    lowest id — the 'keep the best copy' policy of curation pipelines.
+
+    Scale shape: clusters are output-sized (docs with no near-dup never
+    appear), so the per-cluster argmax is driver-side; the token counts
+    are fetched with a broadcast-filter streaming pass over the corpus
+    (only cluster members' stats ship back)."""
+    import ray
+
+    from ..functions.textstats import token_stats
+
+    clusters = q_dedup_survivors(sf_dir)  # (doc_id, rep_id)
+    if not len(clusters):
+        return pd.DataFrame(
+            {"rep_id": pd.array([], dtype=np.int64),
+             "survivor_id": pd.array([], dtype=np.int64),
+             "n_tokens": pd.array([], dtype=np.int64)}
+        )
+    ids_ref = ray.put(np.sort(clusters["doc_id"].to_numpy(np.int64)))
+
+    def filt(t: pa.Table) -> pa.Table:
+        ids = ray.get(ids_ref)
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(np.isin(d, ids)))
+
+    q = (
+        _docs_ds(sf_dir)
+        .map_batches(filt, batch_format="pyarrow")
+        .map_batches(token_stats, batch_format="pyarrow")
+        .to_pandas()
+    )
+    m = clusters.merge(q[["doc_id", "n_tokens"]], on="doc_id")
+    m = m.sort_values(
+        ["rep_id", "n_tokens", "doc_id"], ascending=[True, False, True]
+    )
+    out = m.groupby("rep_id", sort=True).head(1).reset_index(drop=True)
+    return pd.DataFrame(
+        {
+            "rep_id": out["rep_id"].astype(np.int64),
+            "survivor_id": out["doc_id"].astype(np.int64),
+            "n_tokens": out["n_tokens"].astype(np.int64),
+        }
+    )
 
 
 def q_decontam(sf_dir: str) -> pd.DataFrame:

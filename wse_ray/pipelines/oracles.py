@@ -587,6 +587,37 @@ SELECT doc AS doc_id, min(node)::BIGINT AS rep_id
 FROM reach GROUP BY doc ORDER BY doc_id"""
 
 
+def sql_dedup_best_survivor() -> str:
+    # same recursive components as sql_dedup_survivors, then per-cluster
+    # argmax by (whitespace token count DESC, doc_id) — the exact policy of
+    # q_dedup_best_survivor (token counts gated separately by token_counts)
+    return f"""
+WITH RECURSIVE jac AS ({sql_dedup_minhash().replace("ORDER BY a, b", "")}),
+edges AS (SELECT a, b FROM jac UNION ALL SELECT b AS a, a AS b FROM jac),
+nodes AS (SELECT DISTINCT a AS doc FROM edges),
+reach(doc, node) AS (
+  SELECT doc, doc FROM nodes
+  UNION
+  SELECT r.doc, e.b FROM reach r JOIN edges e ON e.a = r.node
+),
+comp AS (SELECT doc AS doc_id, min(node) AS rep_id FROM reach GROUP BY doc),
+tokc AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens
+  FROM (SELECT doc_id, t.term
+        FROM documents, unnest(string_split(text, ' ')) AS t(term)
+        WHERE t.term <> '')
+  GROUP BY doc_id
+),
+best AS (
+  SELECT c.rep_id, c.doc_id, t.n_tokens,
+         row_number() OVER (PARTITION BY c.rep_id
+                            ORDER BY t.n_tokens DESC, c.doc_id) AS rn
+  FROM comp c JOIN tokc t USING (doc_id)
+)
+SELECT rep_id::BIGINT AS rep_id, doc_id::BIGINT AS survivor_id, n_tokens
+FROM best WHERE rn = 1 ORDER BY rep_id"""
+
+
 def sql_lang_id() -> str:
     from ..functions.textstats import LANG_MARKERS
 
@@ -975,6 +1006,7 @@ def oracle_sql_map() -> dict[str, str]:
         "dedup_minhash": sql_dedup_minhash(),
         "dedup_ngram": sql_dedup_minhash(),  # exact-Jaccard ground truth, shared
         "dedup_survivors": sql_dedup_survivors(),
+        "dedup_best_survivor": sql_dedup_best_survivor(),
 
         "lang_id": sql_lang_id(),
         "multimodal_meta": sql_multimodal_meta(),
