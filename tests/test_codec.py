@@ -170,3 +170,41 @@ def test_encode_segments_byte_identical_to_per_segment():
         assert bytes(ref) == pay
         assert meta["offset"].tolist() == offs
         assert meta["length"].tolist() == lens
+
+
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=150),  # segment lengths
+        min_size=1,
+        max_size=25,
+    ),
+    st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=30, deadline=None)
+def test_encode_segments_property(seg_lens, seed):
+    """Hypothesis sweep of arbitrary segment shapes: encode_segments must
+    stay byte-identical to the per-segment path for any partition."""
+    from wse_ray.codec import encode_segments
+
+    rng = np.random.default_rng(seed)
+    starts, ends, d, t, l, ubs = [], [], [], [], [], []
+    pos = 0
+    for m in seg_lens:
+        ids = np.sort(rng.choice(10**6, size=m, replace=False)).astype(np.uint64)
+        starts.append(pos)
+        ends.append(pos + m)
+        pos += m
+        d.append(ids)
+        t.append(rng.integers(1, 1000, size=m).astype(np.uint64))
+        l.append(rng.integers(1, 10**6, size=m).astype(np.uint64))
+        nch = (m + POSTINGS_IN_CHUNK - 1) // POSTINGS_IN_CHUNK
+        ubs.append(rng.random(nch).astype(np.float32))
+    pay, meta = encode_segments(
+        np.concatenate(d), np.concatenate(t), np.concatenate(l),
+        np.array(starts), np.array(ends), np.concatenate(ubs),
+    )
+    ref = bytearray()
+    for s in range(len(seg_lens)):
+        ref += encode_posting_list(d[s], t[s], l[s], chunk_ubs=ubs[s])
+    assert bytes(ref) == pay
+    assert meta["n_chunks"].sum() == sum(len(u) for u in ubs)
