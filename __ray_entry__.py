@@ -53,6 +53,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # incremental ingestion: base build on 60% of docs + extend_index on
         # the rest, served exactly (shares the bm25_disjunctive oracle)
         "bm25_extend": eq.q_bm25_extend,
+        # tombstone deletes: doc vanishes from results, stats stay stored
+        "bm25_deleted": eq.q_bm25_deleted,
         "bm25_trec": eq.q_bm25_trec,  # TREC tokenizer quirks end-to-end
         "search_snippets": eq.q_search_snippets,  # N1-N6 dispatch (pinned-golden oracle)
         # text analysis

@@ -163,3 +163,71 @@ def test_extend_resume_and_corpus_guard(ray_session, tmp_path_factory):
         assert e_inc.search(q["query"], q["mode"], q["k"]) == e_full.search(
             q["query"], q["mode"], q["k"]
         )
+
+
+def test_delete_docs_tombstones(ray_session, tmp_path_factory):
+    """Tombstoned docs vanish from every mode's results (matches AND the
+    zero-pad pool), surviving docs keep their exact scores (stored stats),
+    sharded serving agrees with single-node, and the delete is idempotent."""
+    import shutil
+
+    from wse_ray.index.extend import delete_docs
+    from wse_ray.query.sharded import ShardedSearchEngine
+
+    d = str(tmp_path_factory.mktemp("del_corpus"))
+    write_corpus_parquet(d, 300, n_files=3)
+    base = str(tmp_path_factory.mktemp("del_base"))
+    build_index(d, base, BuildConfig(num_partitions=3, partition_by="doc"))
+    live = SearchEngine(base)
+
+    deleted = [i for i in range(300) if i % 7 == 0]
+    idx = str(tmp_path_factory.mktemp("del_idx"))
+    shutil.rmtree(idx)
+    shutil.copytree(base, idx)
+    n1 = delete_docs(idx, deleted)
+    n2 = delete_docs(idx, deleted)  # idempotent: same file, same count
+    assert n1 == n2 == len(deleted)
+    eng = SearchEngine(idx)
+    dead = set(deleted)
+
+    for q in make_queries():
+        for mode in ("disjunctive", "conjunctive", "disjunctive_pruned"):
+            res = eng.search(q["query"], mode, q["k"])
+            assert not ({doc for doc, _ in res} & dead), (q["query"], mode)
+            # surviving docs keep the exact live-engine score
+            live_scores = dict(live.search(q["query"], mode, 300))
+            for doc, score in res:
+                if doc in live_scores:
+                    assert score == live_scores[doc]
+
+    # zero-padding skips tombstones: an absent term pads from survivors
+    pad = eng.search("zzz_absent_term", "disjunctive", 10)
+    assert [doc for doc, _ in pad] == [i for i in range(15) if i % 7 != 0][:10]
+    assert all(s == 0.0 for _, s in pad)
+
+    sharded = ShardedSearchEngine(idx)
+    for q in make_queries()[:10]:
+        assert sharded.search(q["query"], q["mode"], q["k"]) == eng.search(
+            q["query"], q["mode"], q["k"]
+        )
+
+
+def test_delete_then_extend(ray_session, tmp_path_factory):
+    """Tombstones and extension compose: delete from the base generation,
+    extend with new docs — deleted stay gone, new docs are served."""
+    from wse_ray.index.extend import delete_docs, extend_index
+
+    d = str(tmp_path_factory.mktemp("delx_corpus"))
+    paths = write_corpus_parquet(d, 200, n_files=4)
+    idx = str(tmp_path_factory.mktemp("delx_idx"))
+    build_index(paths[:2], idx, BuildConfig(num_partitions=2, partition_by="doc"))
+    delete_docs(idx, [0, 1, 2])
+    extend_index(idx, paths[2:])
+    eng = SearchEngine(idx)
+    assert eng.N == 200  # stats count tombstoned docs until compaction
+    for q in make_queries()[:10]:
+        res = eng.search(q["query"], q["mode"], q["k"])
+        assert not ({doc for doc, _ in res} & {0, 1, 2})
+    # new-generation docs are reachable
+    hits = {doc for doc, _ in eng.search("zzz_absent_term", "disjunctive", 200)}
+    assert hits & set(range(100, 200))

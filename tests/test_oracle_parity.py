@@ -58,6 +58,7 @@ SQL_CHECKED = [
     "dedup_normalized",
     "decontam",
     "bm25_extend",
+    "bm25_deleted",
     "repetition_stats",
     "pii_scrub",
     "lm_score",

@@ -432,6 +432,40 @@ def extend_index(
     return manifest
 
 
+def delete_docs(index_dir: str, doc_ids) -> int:
+    """Tombstone documents: they vanish from every query result immediately
+    (postings filtered at decode, zero-pad pool skips them — scorer.py),
+    while N/avgdl/df keep the stored values until a compacting rebuild —
+    the standard delete semantics of segment-based indexes (Lucene-style).
+
+    Idempotent: the tombstone file is named by the content hash of the id
+    set, so re-issuing the same delete writes the same file.  Returns the
+    total tombstone count.  Compaction = rebuild from a corpus with the
+    docs removed (docIDs renumber; tombstones then reset).
+    """
+    ids = np.unique(np.asarray(list(doc_ids), dtype=np.uint64))
+    tomb_dir = os.path.join(index_dir, "tombstones")
+    os.makedirs(tomb_dir, exist_ok=True)
+    if len(ids):
+        name = hashlib.md5(ids.tobytes()).hexdigest()[:16]
+        path = os.path.join(tomb_dir, f"del-{name}.parquet")
+        if not os.path.exists(path):
+            tmp = path + ".tmp"
+            pq.write_table(pa.table({"doc_id": pa.array(ids, pa.uint64())}), tmp)
+            os.rename(tmp, path)
+    total = np.unique(
+        np.concatenate(
+            [
+                pq.read_table(p, columns=["doc_id"])["doc_id"]
+                .to_numpy(zero_copy_only=False)
+                .astype(np.uint64)
+                for p in glob.glob(os.path.join(tomb_dir, "*.parquet"))
+            ]
+        )
+    ) if glob.glob(os.path.join(tomb_dir, "*.parquet")) else np.zeros(0)
+    return int(len(total))
+
+
 def refresh_bounds(index_dir: str) -> None:
     """Re-encode every partition from the durable postings exchange with the
     CURRENT stats, restoring sound per-chunk BM25 upper bounds after doc-

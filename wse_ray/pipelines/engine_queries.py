@@ -455,6 +455,46 @@ def _trec_corpus(sf_dir: str):
 _TREC_CACHE: dict[str, SearchEngine] = {}
 
 
+_DELETED_CACHE: dict[str, SearchEngine] = {}
+
+
+def q_bm25_deleted(sf_dir: str) -> pd.DataFrame:
+    """Tombstone deletion end-to-end: delete every doc_id % 7 == 0 from a
+    copy of the index (index/extend.py delete_docs), then serve the fixed
+    disjunctive query set.  Deleted docs vanish from results (including
+    the zero-pad pool) while N/avgdl/df keep the stored full-corpus values
+    until compaction — the SQL oracle recomputes exactly that: scores
+    under full-corpus stats, ranking over surviving docs only."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from ..index.extend import delete_docs
+
+    if sf_dir not in _DELETED_CACHE:
+        src_engine = get_engine(sf_dir)  # ensure the base index exists
+        out = _index_dir(sf_dir) + "_del"
+        marker = os.path.join(out, "tombstones")
+        if not os.path.isdir(marker):
+            shutil.rmtree(out, ignore_errors=True)
+            shutil.copytree(src_engine.index_dir, out)
+            n = pq.ParquetFile(
+                os.path.join(sf_dir, "documents.parquet")
+            ).metadata.num_rows
+            delete_docs(out, [i for i in range(n) if i % 7 == 0])
+        _DELETED_CACHE[sf_dir] = SearchEngine(out)
+    eng = _DELETED_CACHE[sf_dir]
+    rows = []
+    for qid, q in DISJ_QUERIES:
+        res = [(int(d), round(float(s), 6)) for d, s in eng.search(q, "disjunctive", TOP_K + 20)]
+        res.sort(key=lambda r: (-r[1], r[0]))
+        for rank, (d, s) in enumerate(res[:TOP_K], 1):
+            rows.append((qid, rank, d, s))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"]).astype(
+        {"query_id": np.int64, "rank": np.int64, "doc_id": np.int64, "score": float}
+    )
+
+
 def q_bm25_trec(sf_dir: str) -> pd.DataFrame:
     """Disjunctive BM25 through the TREC tokenizer quirks end-to-end:
     first-line (url) drop, trailing-unflushed-token drop, dataLen = FULL doc

@@ -112,6 +112,39 @@ SELECT query_id, rank, doc_id, score FROM ranked
 WHERE rank <= {TOP_K} ORDER BY query_id, rank"""
 
 
+def sql_bm25_deleted() -> str:
+    # tombstone semantics (index/extend.py delete_docs): idf/avgdl/N are the
+    # STORED full-corpus stats (tf/dft/stats CTEs over ALL docs), but the
+    # ranking — matches AND the zero-pad pool — covers only surviving docs
+    return f"""WITH {_TOK},
+q(query_id, ord, term) AS (VALUES {_query_terms(DISJ_QUERIES)}),
+matches AS (
+  SELECT q.query_id, tf.doc_id, sum({_BM25}) AS score
+  FROM q
+  JOIN tf USING (term)
+  JOIN dft USING (term)
+  JOIN documents d ON d.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  WHERE tf.doc_id % 7 <> 0
+  GROUP BY q.query_id, tf.doc_id
+),
+all_docs AS (
+  SELECT qq.query_id, d.doc_id, coalesce(m.score, 0.0) AS score
+  FROM (SELECT DISTINCT query_id FROM q) qq
+  CROSS JOIN (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0) d
+  LEFT JOIN matches m ON m.query_id = qq.query_id AND m.doc_id = d.doc_id
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id) AS rank,
+         doc_id, round(score, 6) AS score
+  FROM all_docs
+)
+SELECT query_id, rank, doc_id, score FROM ranked
+WHERE rank <= {TOP_K} ORDER BY query_id, rank"""
+
+
 def sql_bm25_conjunctive() -> str:
     # soft conjunction: candidates = min-df term's postings (first query term
     # achieving the minimum); other terms add score only where present
@@ -975,6 +1008,7 @@ def oracle_sql_map() -> dict[str, str]:
         "bm25_conjunctive": sql_bm25_conjunctive(),
         "bm25_sharded": sql_bm25_disjunctive(),
         "bm25_extend": sql_bm25_disjunctive(),
+        "bm25_deleted": sql_bm25_deleted(),
         "bm25_trec": sql_bm25_trec(),
         "search_snippets": sql_search_snippets(),
         "dedup_simhash": sql_dedup_simhash(),

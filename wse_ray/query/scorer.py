@@ -69,6 +69,26 @@ class SearchEngine:
                 self._stale_ubs = bool(json.load(f).get("stale_ubs", False))
         except (OSError, ValueError):
             pass
+        # tombstones (index/extend.py delete_docs): deleted docs vanish from
+        # every result -- postings are filtered at decode and the zero-pad
+        # pool skips them -- while N/avgdl/df stay the stored values until a
+        # compacting rebuild (Lucene-style delete semantics; the SQL oracle
+        # for gate bm25_deleted recomputes exactly this)
+        self._deleted = np.zeros(0, dtype=np.uint64)
+        tomb = sorted(glob.glob(os.path.join(index_dir, "tombstones", "*.parquet")))
+        if tomb:
+            dd = np.unique(
+                np.concatenate(
+                    [
+                        pq.read_table(t, columns=["doc_id"])["doc_id"]
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.uint64)
+                        for t in tomb
+                    ]
+                )
+            )
+            # shard-local slice: per-actor tombstone memory is range-bounded
+            self._deleted = dd[(dd >= self.doc_lo) & (dd < self.doc_hi)]
 
         lex_files = sorted(
             glob.glob(os.path.join(index_dir, "parts", "part=*", "lexicon.parquet"))
@@ -140,6 +160,17 @@ class SearchEngine:
         self._fh: dict[int, object] = {}
         self._seg_cache: dict[tuple, bytes] = {}
         self._ub_cache: dict[bytes, float] = {}
+
+    def _taken(self, sorted_ids: np.ndarray) -> np.ndarray:
+        """Matched ids + tombstones: the ids the zero-pad pool must skip."""
+        if not len(self._deleted):
+            return sorted_ids
+        return np.union1d(sorted_ids, self._deleted)
+
+    @property
+    def _pool(self) -> int:
+        """Rankable docs in this engine's range (excludes tombstones)."""
+        return self.doc_hi - self.doc_lo - len(self._deleted)
 
     # --- plumbing ------------------------------------------------------------
 
@@ -222,11 +253,17 @@ class SearchEngine:
         if not parts_d:
             z = np.zeros(0, dtype=np.uint64)
             return z, z.copy(), z.copy()
-        return (
-            np.concatenate(parts_d),
-            np.concatenate(parts_t),
-            np.concatenate(parts_l),
-        )
+        d = np.concatenate(parts_d)
+        t = np.concatenate(parts_t)
+        l = np.concatenate(parts_l)
+        if len(self._deleted) and len(d):
+            pos = np.searchsorted(self._deleted, d)
+            pos_c = np.minimum(pos, len(self._deleted) - 1)
+            dead = self._deleted[pos_c] == d
+            if dead.any():
+                keep = ~dead
+                d, t, l = d[keep], t[keep], l[keep]
+        return d, t, l
 
     def bm25_vec(self, df: int, tfs: np.ndarray, dls: np.ndarray) -> np.ndarray:
         """Vectorized hw3/DataLoader.cpp:302-314; float64 op order mirrors the
@@ -306,7 +343,9 @@ class SearchEngine:
         # summed upper bounds; strictly below the floor -> skip decoding
         # those lists entirely (this prunes exactly the negative-idf common
         # terms whose posting lists are the long ones).
-        pool = self.doc_hi - self.doc_lo
+        # stored df over-counts matches when tombstones exist -> the zero
+        # pool estimate only shrinks: still a sound floor
+        pool = self._pool
         zero_pool_ok = (pool - sum(self.df(t) for t in uniq)) >= k
         theta = 0.0 if zero_pool_ok else -math.inf
         prune_from = len(uniq)
@@ -353,7 +392,7 @@ class SearchEngine:
             pad = self._padding_docs(ids_all, pruned, k)
             merged = top_matched + [(int(p), 0.0) for p in pad]
             merged.sort(key=lambda r: (-r[1], r[0]))
-            return merged[: min(k, self.doc_hi - self.doc_lo)]
+            return merged[: min(k, self._pool)]
         return top_matched
 
     def _padding_docs(self, ids_all: np.ndarray, pruned, k: int) -> np.ndarray:
@@ -365,14 +404,14 @@ class SearchEngine:
         ]
         if not nonzero_pruned:
             # exclusion set is already complete — no window expansion needed
-            return _first_missing(np.sort(ids_all), self.doc_lo, self.doc_hi, k)
+            return _first_missing(self._taken(np.sort(ids_all)), self.doc_lo, self.doc_hi, k)
         while True:
             exclude = [np.sort(ids_all)]
             for term in nonzero_pruned:
                 d, _t, _l = self.postings(term, min_docid=self.doc_lo, max_docid=window)
                 exclude.append(d[d <= window])
             matched = np.unique(np.concatenate(exclude))
-            pad = _first_missing(matched, self.doc_lo, self.doc_hi, k)
+            pad = _first_missing(self._taken(matched), self.doc_lo, self.doc_hi, k)
             pad = pad[pad <= window]  # beyond the window, match status unknown
             if len(pad) >= k or window >= self.doc_hi:
                 return pad[:k]
@@ -422,10 +461,10 @@ class SearchEngine:
         # pad needed when fewer than k matches, or when the kth match scores
         # <= 0 (zero-score non-matches outrank negatives and tie-break zeros)
         if len(top_matched) < k or (top_matched and top_matched[-1][1] <= 0.0):
-            pad = _first_missing(np.sort(ids_all), self.doc_lo, self.doc_hi, k)
+            pad = _first_missing(self._taken(np.sort(ids_all)), self.doc_lo, self.doc_hi, k)
             merged = top_matched + [(int(p), 0.0) for p in pad]
             merged.sort(key=lambda r: (-r[1], r[0]))
-            return merged[: min(k, self.doc_hi - self.doc_lo)]
+            return merged[: min(k, self._pool)]
         return top_matched
 
     def _conjunctive(self, words: list[bytes], k: int):
