@@ -231,3 +231,43 @@ def test_delete_then_extend(ray_session, tmp_path_factory):
     # new-generation docs are reachable
     hits = {doc for doc, _ in eng.search("zzz_absent_term", "disjunctive", 200)}
     assert hits & set(range(100, 200))
+
+
+def test_compact_equals_fresh_build_without_deleted(ray_session, tmp_path_factory):
+    """compact_index(idx with tombstones) must serve exactly like a fresh
+    build over the corpus with the deleted docs removed (dense docID
+    renumbering, recomputed stats/dfs/bounds, tombstones reset)."""
+    import pyarrow.parquet as pq
+
+    from wse_ray.fixtures import make_corpus
+    from wse_ray.index.extend import compact_index, delete_docs
+
+    n, dead = 300, set(range(0, 300, 7))
+    corpus_dir = str(tmp_path_factory.mktemp("cmp_corpus"))
+    write_corpus_parquet(corpus_dir, n, n_files=3)
+    # reference: corpus with the deleted docs REMOVED, order preserved
+    t = make_corpus(n)
+    keep_mask = [i not in dead for i in range(n)]
+    filt_dir = str(tmp_path_factory.mktemp("cmp_filtered"))
+    pq.write_table(
+        t.filter(keep_mask), os.path.join(filt_dir, "corpus-00000.parquet")
+    )
+
+    idx = str(tmp_path_factory.mktemp("cmp_idx"))
+    cfg = BuildConfig(num_partitions=3)
+    build_index(corpus_dir, idx, cfg)
+    delete_docs(idx, sorted(dead))
+    out = str(tmp_path_factory.mktemp("cmp_out"))
+    compact_index(idx, out, cfg)
+
+    ref = str(tmp_path_factory.mktemp("cmp_ref"))
+    build_index(filt_dir, ref, cfg)
+
+    e_cmp, e_ref = SearchEngine(out), SearchEngine(ref)
+    assert e_cmp.stats == e_ref.stats
+    assert len(e_cmp._deleted) == 0  # tombstones reset
+    for q in make_queries():
+        for mode in ("disjunctive", "conjunctive", "disjunctive_pruned"):
+            assert e_cmp.search(q["query"], mode, q["k"]) == e_ref.search(
+                q["query"], mode, q["k"]
+            ), (q["query"], mode)

@@ -466,6 +466,116 @@ def delete_docs(index_dir: str, doc_ids) -> int:
     return int(len(total))
 
 
+def compact_index(index_dir: str, out_dir: str, cfg=None) -> dict:
+    """Rewrite the index WITHOUT its tombstoned documents: survivors keep
+    their order but docIDs renumber densely, stats/dfs/chunk bounds are
+    recomputed, and the new index starts with zero tombstones — search
+    results over it equal a from-scratch build of the corpus with the
+    deleted docs removed (tests/test_extend.py pins this).
+
+    Never re-tokenizes: the old ``runs/`` checkpoint is filtered and
+    renumbered with one streaming map (new docID = old - #deleted <= old,
+    a searchsorted against the broadcast tombstone array — the same
+    driver-side envelope the scorer already holds), then the standard
+    phase-2/3 machinery runs over the new runs.  ``cfg`` defaults to the
+    source index's BuildConfig.
+    """
+    import ray
+    import ray.data
+
+    from .build import build_index
+
+    manifest = _load_json(os.path.join(index_dir, "manifest.json"))
+    cfg = cfg or BuildConfig(**manifest["config"])
+    tomb = sorted(glob.glob(os.path.join(index_dir, "tombstones", "*.parquet")))
+    deleted = (
+        np.unique(
+            np.concatenate(
+                [
+                    pq.read_table(p, columns=["doc_id"])["doc_id"]
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.uint64)
+                    for p in tomb
+                ]
+            )
+        )
+        if tomb
+        else np.zeros(0, dtype=np.uint64)
+    )
+
+    os.makedirs(out_dir, exist_ok=True)
+    new_runs = os.path.join(out_dir, "runs")
+    stats_path = os.path.join(out_dir, "stats.json")
+    heavy_path = os.path.join(out_dir, "heavy.parquet")
+    from .build import _done, _mark
+
+    if not _done(new_runs):
+        shutil.rmtree(new_runs, ignore_errors=True)
+        os.makedirs(new_runs, exist_ok=True)
+        dref = ray.put(deleted)
+
+        def renumber(t: pa.Table) -> pa.Table:
+            import uuid
+
+            dd = ray.get(dref)
+            ids = t["docID"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            if len(dd):
+                pos = np.searchsorted(dd, ids)
+                pos_c = np.minimum(pos, len(dd) - 1)
+                keep = dd[pos_c] != ids
+                t = t.filter(pa.array(keep))
+                ids = ids[keep]
+                new_ids = ids - np.searchsorted(dd, ids, side="right").astype(np.uint64)
+            else:
+                new_ids = ids
+            t = t.set_column(
+                t.schema.get_field_index("docID"), "docID",
+                pa.array(new_ids, pa.uint64()),
+            )
+            if t.num_rows:
+                base = int(new_ids.min())
+                fname = os.path.join(new_runs, f"run-{base:012d}.parquet")
+                tmp = f"{fname}.tmp-{uuid.uuid4().hex}"
+                pq.write_table(t, tmp, compression="zstd")
+                os.rename(tmp, fname)
+                dl = t["dataLen"].to_numpy(zero_copy_only=False)
+                return pa.table(
+                    {
+                        "n": pa.array([t.num_rows], pa.int64()),
+                        "sum_dl": pa.array([int(dl.sum())], pa.int64()),
+                        "max_dl": pa.array([int(dl.max())], pa.int64()),
+                    }
+                )
+            return pa.table(
+                {
+                    "n": pa.array([0], pa.int64()),
+                    "sum_dl": pa.array([0], pa.int64()),
+                    "max_dl": pa.array([0], pa.int64()),
+                }
+            )
+
+        parts = (
+            ray.data.read_parquet(os.path.join(index_dir, "runs"))
+            .map_batches(renumber, batch_format="pyarrow")
+            .to_pandas()
+        )
+        n = int(parts["n"].sum())
+        total = int(parts["sum_dl"].sum())
+        stats = {
+            "N": n,
+            "total_dl": total,
+            "avgdl": int(total / n) if n else 0,
+            "max_dl": int(parts["max_dl"].max()) if len(parts) else 0,
+        }
+        _dump_json(stats, stats_path)
+        # heavy list is routing-only: reuse the source's
+        shutil.copyfile(os.path.join(index_dir, "heavy.parquet"), heavy_path)
+        _mark(new_runs)
+    # phases 2+3 run via the standard builder: phase 1 is already _done,
+    # so the corpus argument is never read (callable -> approx_docs=0)
+    return build_index(lambda: None, out_dir, cfg)
+
+
 def refresh_bounds(index_dir: str) -> None:
     """Re-encode every partition from the durable postings exchange with the
     CURRENT stats, restoring sound per-chunk BM25 upper bounds after doc-
