@@ -271,3 +271,43 @@ def test_compact_equals_fresh_build_without_deleted(ray_session, tmp_path_factor
             assert e_cmp.search(q["query"], mode, q["k"]) == e_ref.search(
                 q["query"], mode, q["k"]
             ), (q["query"], mode)
+
+
+def test_extend_from_html_delta(ray_session, tmp_path_factory):
+    """An html-only delta batch extends through the byte-exact extraction
+    stage and serves identically to extending with the text column."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from wse_ray.fixtures import make_corpus
+    from wse_ray.index.extend import extend_index
+
+    d = str(tmp_path_factory.mktemp("html_corpus"))
+    paths = write_corpus_parquet(d, 200, n_files=4)
+    # html-wrapped copy of the delta files (text column dropped)
+    t = make_corpus(200)
+    html_dir = str(tmp_path_factory.mktemp("html_delta"))
+    delta = t.slice(100, 100)
+    htmls = [
+        b"<html><head></head><body>" + tx.as_py().encode() + b"</body></html>"
+        for tx in delta["text"]
+    ]
+    pq.write_table(
+        pa.table({"url": delta["url"], "html": pa.array(htmls, pa.large_binary())}),
+        os.path.join(html_dir, "corpus-00000.parquet"),
+    )
+
+    ref = str(tmp_path_factory.mktemp("html_ref"))
+    build_index(paths[:2], ref, BuildConfig(num_partitions=2, partition_by="doc"))
+    extend_index(ref, paths[2:])
+
+    inc = str(tmp_path_factory.mktemp("html_inc"))
+    build_index(paths[:2], inc, BuildConfig(num_partitions=2, partition_by="doc"))
+    extend_index(inc, html_dir, from_html=True)
+
+    e_ref, e_inc = SearchEngine(ref), SearchEngine(inc)
+    assert e_inc.stats == e_ref.stats
+    for q in make_queries()[:10]:
+        assert e_inc.search(q["query"], q["mode"], q["k"]) == e_ref.search(
+            q["query"], q["mode"], q["k"]
+        )

@@ -159,6 +159,7 @@ def extend_index(
     index_dir: str,
     corpus: str | list[str] | Callable[[], "ray.data.Dataset"],  # noqa: F821
     delta_partitions: int | None = None,
+    from_html: bool = False,
 ) -> dict:
     """Ingest ``corpus`` as the next generation of an existing index.
 
@@ -167,7 +168,8 @@ def extend_index(
     itself (contiguous, starting at current N — asserted).
     ``delta_partitions`` (doc layout only) overrides the number of new
     partitions; default keeps delta partition sizes ~equal to base ones.
-    Returns the updated manifest.
+    ``from_html=True`` extracts the text from the delta's html column
+    (same byte-exact stage as build_index).  Returns the updated manifest.
     """
     import time
 
@@ -235,11 +237,17 @@ def extend_index(
 
             specs = rowgroup_specs(list_corpus_files(corpus))
 
+            cols = ["url", "html"] if from_html else ["url", "text"]
+
             def fused(spec: pa.Table, _tok=tok) -> pa.Table:
                 path = spec["path"][0].as_py()
                 rg = spec["row_group"][0].as_py()
                 base = spec["base"][0].as_py() + n_before  # offset into the index
-                t = pq.ParquetFile(path).read_row_group(rg, columns=["url", "text"])
+                t = pq.ParquetFile(path).read_row_group(rg, columns=cols)
+                if from_html:
+                    from ..stages.extract import ExtractText
+
+                    t = ExtractText()(t)
                 docids = pa.array(
                     np.arange(base, base + t.num_rows, dtype=np.uint64), pa.uint64()
                 )
