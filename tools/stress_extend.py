@@ -23,11 +23,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BASE = 800_000
 DELTA = 80_000
+LAYOUT = "doc"
 for i, a in enumerate(sys.argv):
     if a == "--base":
         BASE = int(sys.argv[i + 1])
     if a == "--delta":
         DELTA = int(sys.argv[i + 1])
+    if a == "--layout":
+        LAYOUT = sys.argv[i + 1]
 
 ROOT = "/dev/shm/wse_stress_extend"
 PER_FILE = 25_000
@@ -93,7 +96,7 @@ def main():
     base_files = write_corpus(os.path.join(ROOT, "corpus"), 0, BASE, "0")
     delta_files = write_corpus(os.path.join(ROOT, "corpus"), BASE, BASE + DELTA, "1")
     P = max(8, BASE // 100_000)
-    cfg = BuildConfig(num_partitions=P, partition_by="doc")
+    cfg = BuildConfig(num_partitions=P, partition_by=LAYOUT)
 
     t0 = time.perf_counter()
     build_index(base_files + delta_files, os.path.join(ROOT, "full"), cfg)
@@ -119,6 +122,7 @@ def main():
             n_q += 1
 
     out = {
+        "layout": LAYOUT,
         "base_docs": BASE,
         "delta_docs": DELTA,
         "partitions": P,
