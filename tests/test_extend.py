@@ -311,3 +311,77 @@ def test_extend_from_html_delta(ray_session, tmp_path_factory):
         assert e_inc.search(q["query"], q["mode"], q["k"]) == e_ref.search(
             q["query"], q["mode"], q["k"]
         )
+
+
+def test_stale_ubs_visible_before_new_stats(ray_session, tmp_path_factory, monkeypatch):
+    """Crash-window soundness: if a doc-layout extension dies AFTER the new
+    stats are published but before completion, the manifest must already
+    carry stale_ubs=true so pruned mode falls back (stale chunk bounds at
+    the new N are not sound upper bounds)."""
+    import wse_ray.index.extend as ext
+
+    d = str(tmp_path_factory.mktemp("crash_corpus"))
+    paths = write_corpus_parquet(d, 200, n_files=4)
+    idx = str(tmp_path_factory.mktemp("crash_idx"))
+    build_index(paths[:2], idx, BuildConfig(num_partitions=2, partition_by="doc"))
+
+    class Boom(RuntimeError):
+        pass
+
+    def exploding_assigner(*a, **k):
+        raise Boom("simulated crash between phase 1 and phase 2")
+
+    monkeypatch.setattr(ext, "_AssignDeltaPartByDoc", exploding_assigner)
+    with pytest.raises(Boom):
+        ext.extend_index(idx, paths[2:])
+
+    with open(os.path.join(idx, "stats.json")) as f:
+        assert json.load(f)["N"] == 200  # new stats already visible...
+    with open(os.path.join(idx, "manifest.json")) as f:
+        assert json.load(f)["stale_ubs"] is True  # ...so the gate is too
+    assert SearchEngine(idx)._stale_ubs
+
+    monkeypatch.undo()
+    ext.extend_index(idx, paths[2:])  # resume completes normally
+    full = str(tmp_path_factory.mktemp("crash_full"))
+    build_index(d, full, BuildConfig(num_partitions=2, partition_by="doc"))
+    e_inc, e_full = SearchEngine(idx), SearchEngine(full)
+    for q in make_queries()[:8]:
+        assert e_inc.search(q["query"], q["mode"], q["k"]) == e_full.search(
+            q["query"], q["mode"], q["k"]
+        )
+
+
+def test_resume_reuses_stamped_delta_partitions(ray_session, tmp_path_factory):
+    """A resume must reuse the generation's stamped delta_partitions (a
+    default-recomputed value on retry cannot orphan routed partitions),
+    and a CONFLICTING explicit value is refused."""
+    from wse_ray.index.extend import extend_index
+
+    d = str(tmp_path_factory.mktemp("dp_corpus"))
+    paths = write_corpus_parquet(d, 200, n_files=4)
+    idx = str(tmp_path_factory.mktemp("dp_idx"))
+    build_index(paths[:2], idx, BuildConfig(num_partitions=2, partition_by="doc"))
+    extend_index(idx, paths[2:], delta_partitions=3)
+
+    # simulate a crash after phase 2: retry WITHOUT the explicit value
+    gen_dir = os.path.join(idx, "ext_gen001")
+    os.remove(os.path.join(gen_dir, "phase_parts.done"))
+    os.remove(os.path.join(gen_dir, "done"))
+    with open(os.path.join(idx, "manifest.json")) as f:
+        m = json.load(f)
+    m["extensions"] = []
+    with open(os.path.join(idx, "manifest.json"), "w") as f:
+        json.dump(m, f)
+    with pytest.raises(ValueError, match="delta_partitions"):
+        extend_index(idx, paths[2:], delta_partitions=5)
+    manifest = extend_index(idx, paths[2:])  # default: reuses the stamp
+    assert len(manifest["extensions"][0]["parts"]) == 3
+
+    full = str(tmp_path_factory.mktemp("dp_full"))
+    build_index(d, full, BuildConfig(num_partitions=2, partition_by="doc"))
+    e_inc, e_full = SearchEngine(idx), SearchEngine(full)
+    for q in make_queries()[:8]:
+        assert e_inc.search(q["query"], q["mode"], q["k"]) == e_full.search(
+            q["query"], q["mode"], q["k"]
+        )

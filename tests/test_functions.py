@@ -1016,3 +1016,28 @@ def test_curate_corpus_drop_reasons(ray_session):
     )
     assert out["doc_id"].tolist() == [1, 6]
     assert out["n_tokens"].tolist() == [30, 25]
+
+
+def test_lsh_partial_build_dir_is_cleaned(vec_ds, tmp_path):
+    """A crashed LSH build (bucket files present, no _SUCCESS) must be
+    wiped on rebuild, not appended to — duplicates would corrupt top-k."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from wse_ray.functions.ann import brute_topk, build_lsh_index, lsh_search_index
+
+    idx = str(tmp_path / "lsh_partial")
+    junk = os.path.join(idx, "buckets", "bucket=0")
+    os.makedirs(junk)
+    qsel = vec_ds.to_pandas().sort_values("vec_id").head(3)
+    pq.write_table(  # a stale fragment duplicating real vectors
+        pa.table({"vec_id": qsel["vec_id"].to_numpy(), "embedding": list(qsel["embedding"])}),
+        os.path.join(junk, "stale.parquet"),
+    )
+    build_lsh_index(vec_ds, idx, n_bits=4)  # no _SUCCESS -> must start clean
+    q_ids = qsel["vec_id"].to_numpy()
+    q_mat = np.stack(qsel["embedding"].to_numpy())
+    got = lsh_search_index(idx, q_ids, q_mat, k=5, nprobe=16)  # full probe
+    want = brute_topk(vec_ds, q_ids.tolist(), k=5)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want.reset_index(drop=True))

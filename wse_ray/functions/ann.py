@@ -217,8 +217,10 @@ def build_ivf_index(
                 stamped = None
         if stamped == params:
             return np.load(cpath)
-        shutil.rmtree(out_dir, ignore_errors=True)
-        os.makedirs(out_dir, exist_ok=True)
+    # no valid marker: a partially-written cells/ dir from a crashed build
+    # would DUPLICATE vectors if appended to -- always start clean
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
     sample = ds.limit(sample_rows).to_pandas()
     centers = _kmeans(
         _normalize(np.stack(sample["embedding"].to_numpy()).astype(np.float64)),
@@ -427,8 +429,10 @@ def build_lsh_index(
                 stamped = None
         if stamped == params:
             return np.load(ppath)
-        shutil.rmtree(out_dir, ignore_errors=True)
-        os.makedirs(out_dir, exist_ok=True)
+    # no valid marker: a partially-written buckets/ dir from a crashed
+    # build would DUPLICATE vectors if appended to -- always start clean
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
     dim = len(ds.limit(1).to_pandas()["embedding"].iloc[0])
     planes = _lsh_planes(dim, n_bits, seed)
     ds.map_batches(
@@ -456,10 +460,15 @@ def _multiprobe_order(proj: np.ndarray) -> np.ndarray:
     n_bits = proj.shape[1]
     all_ids = np.arange(1 << n_bits, dtype=np.int64)
     # bit matrix of every bucket id, MSB-first to match _lsh_bucket packing
-    bits = (all_ids[:, None] >> np.arange(n_bits - 1, -1, -1)) & 1
-    own = (proj > 0).astype(np.int64)  # (n_queries, n_bits)
-    flipped = bits[None, :, :] != own[:, None, :]  # (q, 2**n_bits, n_bits)
-    cost = (flipped * np.abs(proj)[:, None, :]).sum(axis=2)
+    bits = (all_ids[:, None] >> np.arange(n_bits - 1, -1, -1)) & 1  # (2**n, n)
+    own = (proj > 0).astype(np.float64)  # (n_queries, n_bits)
+    ap = np.abs(proj)
+    # cost[q,b] = sum_i |p_qi| * [bits_bi != own_qi]
+    #           = sum_i |p_qi|*own_qi  +  sum_i |p_qi|*(1-2*own_qi)*bits_bi
+    # i.e. a per-query base plus ONE (q,n)x(n,2**n) matmul -- no
+    # (q, 2**n, n) broadcast tensor (9 MB/query at the n_bits=16 ceiling)
+    base = (ap * own).sum(axis=1, keepdims=True)
+    cost = base + (ap * (1.0 - 2.0 * own)) @ bits.T.astype(np.float64)
     return np.argsort(cost, axis=1, kind="stable").astype(np.int64)
 
 

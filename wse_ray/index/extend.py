@@ -83,9 +83,23 @@ def _touch(path: str) -> None:
 
 def _corpus_fingerprint(corpus) -> str:
     """Stable id of a delta corpus: file list + row counts for parquet
-    paths, the callable's qualname for callables (best effort)."""
+    paths; for callables, the qualname + code bytes + repr of closure cell
+    values — so two closures from the same factory with different
+    parameters (the q_bm25_extend _slice pattern) get DIFFERENT
+    fingerprints and the mid-generation corpus guard actually bites.
+    Best-effort: a callable whose behavior depends on external state the
+    closure does not capture is the caller's responsibility."""
     if callable(corpus):
-        return f"callable:{getattr(corpus, '__qualname__', repr(corpus))}"
+        h = hashlib.md5(getattr(corpus, "__qualname__", repr(corpus)).encode())
+        code = getattr(corpus, "__code__", None)
+        if code is not None:
+            h.update(code.co_code)
+        for cell in getattr(corpus, "__closure__", None) or ():
+            try:
+                h.update(repr(cell.cell_contents).encode())
+            except ValueError:  # empty cell
+                h.update(b"<empty>")
+        return f"callable:{h.hexdigest()}"
     from ..sources.corpus import list_corpus_files, rowgroup_specs
 
     specs = rowgroup_specs(list_corpus_files(corpus))
@@ -279,6 +293,15 @@ def extend_index(
     delta_stats = _load_json(delta_stats_path)
     m = delta_stats["n"]
     new_stats = _fold_stats(base_stats, prior_deltas + [delta_stats])
+    if m > 0 and not manifest.get("stale_ubs"):
+        # ORDER MATTERS: once stats.json says N_new, every baked chunk
+        # bound (computed at N_old) is no longer a sound upper bound, so
+        # the pruning gate must be visible FIRST — otherwise a crash (or a
+        # concurrently restarting actor) between the two writes would
+        # serve unsound MaxScore pruning.  Term layout clears the flag
+        # after its re-encode; doc layout keeps it until refresh_bounds.
+        manifest["stale_ubs"] = True
+        _dump_json(manifest, manifest_path)
     _dump_json(new_stats, stats_path)
     if m == 0:  # empty delta: record the generation and return
         record = {"gen": gen, "kind": cfg.partition_by, "delta_stats": delta_stats,
@@ -305,10 +328,26 @@ def extend_index(
     if cfg.partition_by == "doc":
         # ---- doc layout: delta -> brand-new partitions --------------------
         part0 = cfg.num_partitions + sum(len(e["parts"]) for e in done_exts)
+        explicit = delta_partitions is not None
         if delta_partitions is None:
             # keep delta partitions ~the size of base ones
             per_part = max(1, base_stats["N"] // cfg.num_partitions)
             delta_partitions = max(1, (m + per_part - 1) // per_part)
+        # the resolved value is part of the generation's layout: a resume
+        # MUST reuse it (a different value would leave phase-2-routed
+        # partitions unencoded and record wrong doc_ranges)
+        layout_stamp = os.path.join(gen_dir, "layout.json")
+        if os.path.exists(layout_stamp):
+            stamped_p = _load_json(layout_stamp)["delta_partitions"]
+            if explicit and stamped_p != delta_partitions:
+                raise ValueError(
+                    f"generation {gen} was started with delta_partitions="
+                    f"{stamped_p}; resume with the same value (got "
+                    f"{delta_partitions})"
+                )
+            delta_partitions = stamped_p
+        else:
+            _dump_json({"delta_partitions": delta_partitions}, layout_stamp)
         new_parts = list(range(part0, part0 + delta_partitions))
         staging = os.path.join(gen_dir, "postings")
         if not _flag(p2_marker):
@@ -345,10 +384,14 @@ def extend_index(
                 if os.path.isdir(os.path.join(postings_dir, f"part={p}"))
             ]
             if specs:
+                enc_kwargs = {}
+                if cfg.encode_concurrency:
+                    enc_kwargs["concurrency"] = cfg.encode_concurrency
                 ray.data.from_items(specs).map_batches(
                     partial(_encode_part_task, out_dir=index_dir, stats=new_stats),
                     batch_size=1,
                     batch_format="pyarrow",
+                    **enc_kwargs,
                 ).to_pandas()
             _touch(p3_marker)
             timings["parts"] = time.perf_counter() - t0
@@ -606,10 +649,15 @@ def refresh_bounds(index_dir: str) -> None:
         {"src": d, "part": int(os.path.basename(d).split("=")[1])}
         for d in sorted(glob.glob(os.path.join(index_dir, "postings", "part=*")))
     ]
+    cfg = BuildConfig(**manifest["config"])
+    enc_kwargs = {}
+    if cfg.encode_concurrency:
+        enc_kwargs["concurrency"] = cfg.encode_concurrency
     ray.data.from_items(specs).map_batches(
         partial(_encode_part_task, out_dir=index_dir, stats=stats),
         batch_size=1,
         batch_format="pyarrow",
+        **enc_kwargs,
     ).to_pandas()
     manifest["stale_ubs"] = False
     _dump_json(manifest, manifest_path)

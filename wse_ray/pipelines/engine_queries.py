@@ -306,11 +306,14 @@ def q_lexicon_stats(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("term").reset_index(drop=True)
 
 
-def _bm25_results(sf_dir: str, queries, mode: str) -> pd.DataFrame:
-    eng = get_engine(sf_dir)
+def _ranked_rows(engine, queries, mode: str) -> pd.DataFrame:
+    """Shared gate-result shaper: re-rank on 6-dp ROUNDED scores with the
+    (score desc, doc_id) tie-break the oracles use — every bm25_* gate
+    (single-node, sharded, extended, deleted) goes through THIS function
+    so the rounding/tie rules can never drift apart."""
     rows = []
     for qid, q in queries:
-        res = eng.search(q, mode, TOP_K + 20)
+        res = engine.search(q, mode, TOP_K + 20)
         res = [(int(d), round(float(s), 6)) for d, s in res]
         res.sort(key=lambda r: (-r[1], r[0]))  # rank on ROUNDED score
         for rank, (d, s) in enumerate(res[:TOP_K], 1):
@@ -318,6 +321,10 @@ def _bm25_results(sf_dir: str, queries, mode: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"]).astype(
         {"query_id": np.int64, "rank": np.int64, "doc_id": np.int64, "score": float}
     )
+
+
+def _bm25_results(sf_dir: str, queries, mode: str) -> pd.DataFrame:
+    return _ranked_rows(get_engine(sf_dir), queries, mode)
 
 
 def q_bm25_disjunctive(sf_dir: str) -> pd.DataFrame:
@@ -416,17 +423,7 @@ def q_bm25_sharded(sf_dir: str) -> pd.DataFrame:
             BuildConfig(num_partitions=4, partition_by="doc", tokenizer_mode="simple"),
         )
         _SHARDED_CACHE[sf_dir] = ShardedSearchEngine(out)
-    eng = _SHARDED_CACHE[sf_dir]
-    rows = []
-    for qid, q in DISJ_QUERIES:
-        res = eng.search(q, "disjunctive", TOP_K + 20)
-        res = [(int(d), round(float(s), 6)) for d, s in res]
-        res.sort(key=lambda r: (-r[1], r[0]))
-        for rank, (d, s) in enumerate(res[:TOP_K], 1):
-            rows.append((qid, rank, d, s))
-    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"]).astype(
-        {"query_id": np.int64, "rank": np.int64, "doc_id": np.int64, "score": float}
-    )
+    return _ranked_rows(_SHARDED_CACHE[sf_dir], DISJ_QUERIES, "disjunctive")
 
 
 def q_bm25_conjunctive(sf_dir: str) -> pd.DataFrame:
@@ -473,9 +470,13 @@ def q_bm25_deleted(sf_dir: str) -> pd.DataFrame:
 
     if sf_dir not in _DELETED_CACHE:
         src_engine = get_engine(sf_dir)  # ensure the base index exists
+        import glob as _glob
+
         out = _index_dir(sf_dir) + "_del"
-        marker = os.path.join(out, "tombstones")
-        if not os.path.isdir(marker):
+        # the marker must be the tombstone FILES, not the directory:
+        # delete_docs makes the dir before the atomic parquet rename, so a
+        # crash in between would leave an empty dir that looks "done"
+        if not _glob.glob(os.path.join(out, "tombstones", "del-*.parquet")):
             shutil.rmtree(out, ignore_errors=True)
             shutil.copytree(src_engine.index_dir, out)
             n = pq.ParquetFile(
@@ -483,16 +484,7 @@ def q_bm25_deleted(sf_dir: str) -> pd.DataFrame:
             ).metadata.num_rows
             delete_docs(out, [i for i in range(n) if i % 7 == 0])
         _DELETED_CACHE[sf_dir] = SearchEngine(out)
-    eng = _DELETED_CACHE[sf_dir]
-    rows = []
-    for qid, q in DISJ_QUERIES:
-        res = [(int(d), round(float(s), 6)) for d, s in eng.search(q, "disjunctive", TOP_K + 20)]
-        res.sort(key=lambda r: (-r[1], r[0]))
-        for rank, (d, s) in enumerate(res[:TOP_K], 1):
-            rows.append((qid, rank, d, s))
-    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"]).astype(
-        {"query_id": np.int64, "rank": np.int64, "doc_id": np.int64, "score": float}
-    )
+    return _ranked_rows(_DELETED_CACHE[sf_dir], DISJ_QUERIES, "disjunctive")
 
 
 def q_bm25_trec(sf_dir: str) -> pd.DataFrame:
