@@ -107,6 +107,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": eq.q_ann_topk,
         "ann_ivf": eq.q_ann_ivf,  # pinned-golden oracle (approximate by design)
         "ann_lsh": eq.q_ann_lsh,  # pinned-golden oracle (approximate by design)
+        # exact kNN graph (block-pair nested-loop join, no broadcast)
+        "knn_graph": eq.q_knn_graph,
         # distributed k-means over embeddings (broadcast centroids, map-side
         # partial sums; iterative -> pinned-golden oracle)
         "kmeans_embed": eq.q_kmeans_embed,

@@ -1041,3 +1041,28 @@ def test_lsh_partial_build_dir_is_cleaned(vec_ds, tmp_path):
     got = lsh_search_index(idx, q_ids, q_mat, k=5, nprobe=16)  # full probe
     want = brute_topk(vec_ds, q_ids.tolist(), k=5)
     pd.testing.assert_frame_equal(got.reset_index(drop=True), want.reset_index(drop=True))
+
+
+def test_knn_join_block_invariant(vec_ds, tmp_path):
+    """The exact kNN graph is invariant to the block split (1 block == the
+    trivial all-pairs scan), excludes self-matches, and ranks by
+    (rounded cosine desc, neighbor id)."""
+    import os
+
+    import pyarrow.parquet as pq
+    from wse_ray.functions.ann import knn_join
+
+    import pyarrow as pa
+
+    path = str(tmp_path / "emb.parquet")
+    pq.write_table(pa.Table.from_pandas(vec_ds.to_pandas()), path)
+    one = knn_join(path, k=4, block_rows=400)   # single block
+    many = knn_join(path, k=4, block_rows=37)   # ragged multi-block
+    pd.testing.assert_frame_equal(
+        one.reset_index(drop=True), many.reset_index(drop=True)
+    )
+    assert (one["vec_id"] != one["nbr_id"]).all()
+    assert (one.groupby("vec_id")["rank"].max() == 4).all()
+    # the planted near-dup pair must be each other's rank-1 neighbor
+    assert one[(one["vec_id"] == 10) & (one["rank"] == 1)]["nbr_id"].iloc[0] == 50
+    assert one[(one["vec_id"] == 50) & (one["rank"] == 1)]["nbr_id"].iloc[0] == 10

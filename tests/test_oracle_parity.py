@@ -64,6 +64,7 @@ SQL_CHECKED = [
     "lm_score",
     "sample_docs",
     "sample_weighted",
+    "knn_graph",
     "rebalance_sources",
     "pack_windows",
     "training_shuffle",

@@ -1068,6 +1068,17 @@ def q_ann_lsh(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_knn_graph(sf_dir: str) -> pd.DataFrame:
+    """EXACT top-5 kNN graph over the embeddings table via the block-pair
+    nested-loop join (no broadcast; each task holds two blocks)."""
+    from ..functions.ann import knn_join
+
+    out = knn_join(os.path.join(sf_dir, "embeddings.parquet"), k=5, block_rows=128)
+    return out.astype(
+        {"vec_id": np.int64, "rank": np.int64, "nbr_id": np.int64, "cosine": float}
+    ).reset_index(drop=True)
+
+
 def q_multimodal_meta(sf_dir: str) -> pd.DataFrame:
     from ..functions.multimodal import DecodeMedia, synth_media_ds
 

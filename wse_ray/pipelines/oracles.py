@@ -957,6 +957,27 @@ FROM (VALUES {ANN_LSH_GOLDEN_SF001}) AS t(query_id, rank, vec_id, cosine)
 ORDER BY query_id, rank"""
 
 
+def sql_knn_graph() -> str:
+    # exact recomputation: all-pairs cosine (self excluded), top-5 per
+    # vector on 6-dp rounded cosine with neighbor-id tie-break — the same
+    # rank rule _merge_topk applies
+    return """
+WITH sims AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+         round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[]), 6) AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT vec_id, nbr_id, cosine,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cosine DESC, nbr_id) AS rank
+  FROM sims
+)
+SELECT vec_id, rank::BIGINT AS rank, nbr_id, cosine
+FROM ranked WHERE rank <= 5 ORDER BY vec_id, rank"""
+
+
 def sql_embedding_centroid() -> str:
     # exact recomputation: per-dimension mean, then cosine per vector
     return """
@@ -1014,6 +1035,7 @@ def oracle_sql_map() -> dict[str, str]:
         "dedup_simhash": sql_dedup_simhash(),
         "ann_ivf": sql_ann_ivf(),
         "ann_lsh": sql_ann_lsh(),
+        "knn_graph": sql_knn_graph(),
         "kmeans_embed": sql_kmeans_embed(),
         "embedding_centroid": sql_embedding_centroid(),
         "hll_users_daily": sql_hll_users_daily(),
