@@ -109,6 +109,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": eq.q_ann_lsh,  # pinned-golden oracle (approximate by design)
         # exact kNN graph (block-pair nested-loop join, no broadcast)
         "knn_graph": eq.q_knn_graph,
+        # thresholded kNN edges -> connected components (semantic buckets)
+        "semantic_clusters": eq.q_semantic_clusters,
         # distributed k-means over embeddings (broadcast centroids, map-side
         # partial sums; iterative -> pinned-golden oracle)
         "kmeans_embed": eq.q_kmeans_embed,

@@ -65,6 +65,7 @@ SQL_CHECKED = [
     "sample_docs",
     "sample_weighted",
     "knn_graph",
+    "semantic_clusters",
     "rebalance_sources",
     "pack_windows",
     "training_shuffle",

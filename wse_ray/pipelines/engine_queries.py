@@ -1079,6 +1079,27 @@ def q_knn_graph(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+SEMANTIC_TAU = 0.4
+
+
+def q_semantic_clusters(sf_dir: str) -> pd.DataFrame:
+    """Semantic clustering: connected components over the exact kNN graph's
+    edges with cosine >= tau — the grouping step of embedding-based corpus
+    curation (near-topic buckets, semantic dedup clusters).  Composes the
+    block-pair kNN join with the union-find finisher; components are
+    output-sized (vectors with no qualifying edge never appear)."""
+    from ..functions.dedup import dedup_clusters
+
+    g = q_knn_graph(sf_dir)
+    edges = g[g["cosine"] >= SEMANTIC_TAU].rename(
+        columns={"vec_id": "a", "nbr_id": "b"}
+    )
+    out = dedup_clusters(edges[["a", "b"]])
+    return out.rename(columns={"doc_id": "vec_id", "rep_id": "cluster_rep"}).astype(
+        {"vec_id": np.int64, "cluster_rep": np.int64}
+    )
+
+
 def q_multimodal_meta(sf_dir: str) -> pd.DataFrame:
     from ..functions.multimodal import DecodeMedia, synth_media_ds
 

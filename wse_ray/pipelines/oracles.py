@@ -978,6 +978,37 @@ SELECT vec_id, rank::BIGINT AS rank, nbr_id, cosine
 FROM ranked WHERE rank <= 5 ORDER BY vec_id, rank"""
 
 
+def sql_semantic_clusters() -> str:
+    from .engine_queries import SEMANTIC_TAU
+
+    # recursive min-label reachability over the exact kNN edges at the same
+    # threshold (the knn CTE is sql_knn_graph's body)
+    return f"""
+WITH RECURSIVE sims AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+         round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[]), 6) AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+knn AS (
+  SELECT vec_id, nbr_id, cosine,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cosine DESC, nbr_id) AS rank
+  FROM sims
+),
+qual AS (SELECT vec_id, nbr_id FROM knn WHERE rank <= 5 AND cosine >= {SEMANTIC_TAU}),
+edges AS (SELECT vec_id AS a, nbr_id AS b FROM qual
+          UNION ALL SELECT nbr_id, vec_id FROM qual),
+nodes AS (SELECT DISTINCT a AS v FROM edges),
+reach(v, node) AS (
+  SELECT v, v FROM nodes
+  UNION
+  SELECT r.v, e.b FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT v AS vec_id, min(node)::BIGINT AS cluster_rep
+FROM reach GROUP BY v ORDER BY vec_id"""
+
+
 def sql_embedding_centroid() -> str:
     # exact recomputation: per-dimension mean, then cosine per vector
     return """
@@ -1036,6 +1067,7 @@ def oracle_sql_map() -> dict[str, str]:
         "ann_ivf": sql_ann_ivf(),
         "ann_lsh": sql_ann_lsh(),
         "knn_graph": sql_knn_graph(),
+        "semantic_clusters": sql_semantic_clusters(),
         "kmeans_embed": sql_kmeans_embed(),
         "embedding_centroid": sql_embedding_centroid(),
         "hll_users_daily": sql_hll_users_daily(),
