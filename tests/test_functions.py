@@ -1066,3 +1066,21 @@ def test_knn_join_block_invariant(vec_ds, tmp_path):
     # the planted near-dup pair must be each other's rank-1 neighbor
     assert one[(one["vec_id"] == 10) & (one["rank"] == 1)]["nbr_id"].iloc[0] == 50
     assert one[(one["vec_id"] == 50) & (one["rank"] == 1)]["nbr_id"].iloc[0] == 10
+
+
+def test_knn_join_storage_reduce_identical(vec_ds, tmp_path):
+    """The storage-shuffled reduce (one task per source block, driver holds
+    only N x k) must equal the driver-merge path exactly."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from wse_ray.functions.ann import knn_join
+
+    path = str(tmp_path / "emb.parquet")
+    pq.write_table(pa.Table.from_pandas(vec_ds.to_pandas()), path)
+    driver = knn_join(path, k=4, block_rows=37)
+    storage = knn_join(
+        path, k=4, block_rows=37, scratch_dir=str(tmp_path / "scratch")
+    )
+    pd.testing.assert_frame_equal(driver, storage)

@@ -362,7 +362,9 @@ def _knn_block_pair_task(
     spec: pa.Table, path: str, k: int, block_rows: int
 ) -> pa.Table:
     """One (block_i, block_j) pair -> per-vector local top-k partials for
-    BOTH blocks (the diagonal pair excludes self-matches)."""
+    BOTH blocks (the diagonal pair excludes self-matches).  Each partial
+    row carries ``blk`` = its vector's SOURCE block index, the static
+    ownership key the storage-shuffled reduce partitions by."""
     import pyarrow.parquet as pq
 
     bi = int(spec["i"][0].as_py())
@@ -376,9 +378,9 @@ def _knn_block_pair_task(
     sims = cosine_matrix_duckdb(A, B)
     if bi == bj:
         np.fill_diagonal(sims, -np.inf)
-    out_q, out_v, out_s = [], [], []
+    out_q, out_v, out_s, out_b = [], [], [], []
 
-    def _topk_rows(src_ids, dst_ids, m):
+    def _topk_rows(src_ids, dst_ids, m, src_blk):
         kk = min(k, m.shape[1])
         idx = np.argpartition(-m, kk - 1, axis=1)[:, :kk]  # (rows, kk)
         vals = np.take_along_axis(m, idx, axis=1)
@@ -387,20 +389,53 @@ def _knn_block_pair_task(
         out_q.extend(src_ids[rows[keep]].tolist())
         out_v.extend(dst_ids[idx[keep]].tolist())
         out_s.extend(vals[keep].tolist())
+        out_b.extend([src_blk] * int(keep.sum()))
 
-    _topk_rows(ida, idb, sims)
+    _topk_rows(ida, idb, sims, bi)
     if bi != bj:
-        _topk_rows(idb, ida, sims.T)
+        _topk_rows(idb, ida, sims.T, bj)
     return pa.table(
         {
             "query_id": pa.array(out_q, pa.int64()),
             "vec_id": pa.array(out_v, pa.int64()),
             "cosine": pa.array(out_s, pa.float64()),
+            "blk": pa.array(out_b, pa.int64()),
         }
     )
 
 
-def knn_join(path: str, k: int = 5, block_rows: int = 256) -> pd.DataFrame:
+def _knn_reduce_block_task(
+    spec: pa.Table, scratch: str, k: int
+) -> pa.Table:
+    """One source block's partials (from ALL its pairs) -> final top-k per
+    vector, fully vectorized (one lexsort, no per-vector frames)."""
+    import pyarrow.parquet as pq
+
+    b = int(spec["blk"][0].as_py())
+    t = pq.read_table(os.path.join(scratch, f"blk={b}"))
+    q = t["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    v = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    s = np.round(t["cosine"].to_numpy(zero_copy_only=False), 6)
+    order = np.lexsort((v, -s, q))  # (vec asc, rounded cosine desc, nbr asc)
+    q, v, s = q[order], v[order], s[order]
+    first = np.concatenate(([True], q[1:] != q[:-1]))
+    rank = np.arange(len(q)) - np.repeat(
+        np.flatnonzero(first), np.diff(np.concatenate((np.flatnonzero(first), [len(q)])))
+    ) + 1
+    keep = rank <= k
+    return pa.table(
+        {
+            "vec_id": pa.array(q[keep], pa.int64()),
+            "rank": pa.array(rank[keep].astype(np.int64), pa.int64()),
+            "nbr_id": pa.array(v[keep], pa.int64()),
+            "cosine": pa.array(s[keep], pa.float64()),
+        }
+    )
+
+
+def knn_join(
+    path: str, k: int = 5, block_rows: int = 256, scratch_dir: str | None = None
+) -> pd.DataFrame:
     """EXACT k-nearest-neighbor graph over an embedding parquet: for every
     vector, its top-k neighbors by cosine (self excluded; ties broken by
     neighbor id on 6-dp rounded cosine, matching the SQL oracle).
@@ -411,9 +446,15 @@ def knn_join(path: str, k: int = 5, block_rows: int = 256) -> pd.DataFrame:
     local top-k.  Nothing is broadcast and no task holds more than two
     blocks; the quadratic total work is inherent to an exact kNN graph
     (the approximate escape hatches are the IVF/LSH indexes above —
-    probe the same machinery per vector instead of all pairs).  The
-    driver-side merge holds N x B_touched x k partial rows; swap it for a
-    Dataset groupby at graph scales beyond driver memory.
+    probe the same machinery per vector instead of all pairs).
+
+    Reduce: by default the N x B x k partial rows merge on the driver
+    (fine up to millions of partials).  With ``scratch_dir`` the merge is
+    a STORAGE SHUFFLE instead — a vector's partials are statically owned
+    by its source block, so pair tasks hive-partition partials by ``blk``
+    and one reduce task per block computes its vectors' final top-k with
+    a single lexsort; the driver only ever holds the N x k result
+    (tests pin reduce-path equality).
     """
     import pyarrow.parquet as pq
 
@@ -423,19 +464,41 @@ def knn_join(path: str, k: int = 5, block_rows: int = 256) -> pd.DataFrame:
     n = pq.ParquetFile(path).metadata.num_rows
     nb = max(1, (n + block_rows - 1) // block_rows)
     specs = [{"i": i, "j": j} for i in range(nb) for j in range(i, nb)]
-    partials = (
-        ray.data.from_items(specs)
+    pair_fn = partial(
+        _knn_block_pair_task, path=path, k=k, block_rows=block_rows
+    )
+    if scratch_dir is None:
+        partials = (
+            ray.data.from_items(specs)
+            .map_batches(pair_fn, batch_size=1, batch_format="pyarrow")
+            .to_pandas()
+        )
+        out = _merge_topk(partials.drop(columns=["blk"]), k)
+        return out.rename(columns={"query_id": "vec_id", "vec_id": "nbr_id"})[
+            ["vec_id", "rank", "nbr_id", "cosine"]
+        ].reset_index(drop=True)
+
+    import glob as _glob
+    import shutil
+
+    shutil.rmtree(scratch_dir, ignore_errors=True)
+    ray.data.from_items(specs).map_batches(
+        pair_fn, batch_size=1, batch_format="pyarrow"
+    ).write_parquet(scratch_dir, partition_cols=["blk"], compression="zstd")
+    rspecs = [
+        {"blk": int(os.path.basename(d).split("=")[1])}
+        for d in sorted(_glob.glob(os.path.join(scratch_dir, "blk=*")))
+    ]
+    out = (
+        ray.data.from_items(rspecs)
         .map_batches(
-            partial(_knn_block_pair_task, path=path, k=k, block_rows=block_rows),
+            partial(_knn_reduce_block_task, scratch=scratch_dir, k=k),
             batch_size=1,
             batch_format="pyarrow",
         )
         .to_pandas()
     )
-    out = _merge_topk(partials, k)
-    return out.rename(columns={"query_id": "vec_id", "vec_id": "nbr_id"})[
-        ["vec_id", "rank", "nbr_id", "cosine"]
-    ]
+    return out.sort_values(["vec_id", "rank"]).reset_index(drop=True)
 
 
 # --------------------------------------------------------------------------
