@@ -244,6 +244,37 @@ def main() -> None:
         )
 
     if os.environ.get("WSE_BENCH_BUILD_ONLY") != "1":
+        # index lifecycle micro-bench: build 80% of a 10k-doc corpus,
+        # extend with the rest, tombstone 10%, serve — tracks the cost of
+        # the maintenance path (index/extend.py) per round
+        from wse_ray.config import BuildConfig
+        from wse_ray.fixtures import write_corpus_parquet
+        from wse_ray.index.build import build_index
+        from wse_ray.index.extend import delete_docs, extend_index
+        from wse_ray.query.scorer import SearchEngine
+
+        life_corpus = f"{_SCRATCH_BASE}/wse_bench_life_corpus"
+        if not os.path.exists(os.path.join(life_corpus, "_DONE")):
+            shutil.rmtree(life_corpus, ignore_errors=True)
+            write_corpus_parquet(life_corpus, 10_000, n_files=10)
+            open(os.path.join(life_corpus, "_DONE"), "w").write("ok")
+        life_files = sorted(
+            p for p in os.listdir(life_corpus) if p.endswith(".parquet")
+        )
+        life_files = [os.path.join(life_corpus, p) for p in life_files]
+        life_idx = f"{BENCH_OUT}_life_{NUM_CPUS}"
+        t0 = time.perf_counter()
+        shutil.rmtree(life_idx, ignore_errors=True)
+        build_index(
+            life_files[:8], life_idx, BuildConfig(num_partitions=8, partition_by="doc")
+        )
+        extend_index(life_idx, life_files[8:])
+        delete_docs(life_idx, range(0, 10_000, 10))
+        eng = SearchEngine(life_idx)
+        for q in ("data table", "zzz_absent", "join"):
+            eng.search(q, "disjunctive", 10)
+        timings["index_lifecycle"] = round(time.perf_counter() - t0, 3)
+
         from wse_ray.pipelines import engine_queries as eq
         from wse_ray.pipelines import relational as rel
 
