@@ -358,6 +358,28 @@ def ivf_topk(
 # --------------------------------------------------------------------------
 
 
+def _read_rows(path: str, lo: int, n: int) -> pa.Table:
+    """Rows [lo, lo+n) of a parquet file, reading ONLY the row groups that
+    intersect the range — a block-pair task touches two blocks' worth of
+    bytes, not the whole file (single-row-group files degrade to a full
+    read, which is what they cost anyway)."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    groups, acc, first_start = [], 0, 0
+    for g in range(pf.metadata.num_row_groups):
+        rows = pf.metadata.row_group(g).num_rows
+        if acc + rows > lo and acc < lo + n:
+            if not groups:
+                first_start = acc
+            groups.append(g)
+        acc += rows
+    if not groups:
+        return pf.schema_arrow.empty_table()
+    t = pf.read_row_groups(groups, columns=["vec_id", "embedding"])
+    return t.slice(lo - first_start, n)
+
+
 def _knn_block_pair_task(
     spec: pa.Table, path: str, k: int, block_rows: int
 ) -> pa.Table:
@@ -369,9 +391,8 @@ def _knn_block_pair_task(
 
     bi = int(spec["i"][0].as_py())
     bj = int(spec["j"][0].as_py())
-    t = pq.read_table(path, columns=["vec_id", "embedding"])
-    ta = t.slice(bi * block_rows, block_rows)
-    tb = t.slice(bj * block_rows, block_rows)
+    ta = _read_rows(path, bi * block_rows, block_rows)
+    tb = ta if bi == bj else _read_rows(path, bj * block_rows, block_rows)
     ida = ta["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     idb = tb["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     A, B = _stack(ta["embedding"]), _stack(tb["embedding"])

@@ -72,6 +72,30 @@ from .build import (
 )
 
 
+def _enc_kwargs(cfg: BuildConfig) -> dict:
+    """map_batches kwargs for encode stages: cap concurrency when the
+    config bounds per-node heap (each task holds one decoded partition)."""
+    return {"concurrency": cfg.encode_concurrency} if cfg.encode_concurrency else {}
+
+
+def load_tombstones(index_dir: str) -> np.ndarray:
+    """Sorted unique tombstoned docIDs (uint64) — the single reader the
+    scorer, delete_docs and compact_index all share."""
+    files = glob.glob(os.path.join(index_dir, "tombstones", "*.parquet"))
+    if not files:
+        return np.zeros(0, dtype=np.uint64)
+    return np.unique(
+        np.concatenate(
+            [
+                pq.read_table(f, columns=["doc_id"])["doc_id"]
+                .to_numpy(zero_copy_only=False)
+                .astype(np.uint64)
+                for f in files
+            ]
+        )
+    )
+
+
 def _flag(path: str) -> bool:
     return os.path.exists(path)
 
@@ -204,7 +228,7 @@ def extend_index(
 
     # ---- generation discovery / resume ------------------------------------
     fingerprint = _corpus_fingerprint(corpus)
-    done_exts = [e for e in manifest.get("extensions", [])]
+    done_exts = list(manifest.get("extensions", []))
     prior_deltas: list[dict] = []
     gen = 1
     for e in done_exts:
@@ -384,14 +408,11 @@ def extend_index(
                 if os.path.isdir(os.path.join(postings_dir, f"part={p}"))
             ]
             if specs:
-                enc_kwargs = {}
-                if cfg.encode_concurrency:
-                    enc_kwargs["concurrency"] = cfg.encode_concurrency
                 ray.data.from_items(specs).map_batches(
                     partial(_encode_part_task, out_dir=index_dir, stats=new_stats),
                     batch_size=1,
                     batch_format="pyarrow",
-                    **enc_kwargs,
+                    **_enc_kwargs(cfg),
                 ).to_pandas()
             _touch(p3_marker)
             timings["parts"] = time.perf_counter() - t0
@@ -453,14 +474,11 @@ def extend_index(
                 {"src": d, "part": int(os.path.basename(d).split("=")[1])}
                 for d in sorted(glob.glob(os.path.join(postings_dir, "part=*")))
             ]
-            enc_kwargs = {}
-            if cfg.encode_concurrency:
-                enc_kwargs["concurrency"] = cfg.encode_concurrency
             ray.data.from_items(specs).map_batches(
                 partial(_encode_part_task, out_dir=index_dir, stats=new_stats),
                 batch_size=1,
                 batch_format="pyarrow",
-                **enc_kwargs,
+                **_enc_kwargs(cfg),
             ).to_pandas()
             _touch(p3_marker)
             timings["parts"] = time.perf_counter() - t0
@@ -504,17 +522,7 @@ def delete_docs(index_dir: str, doc_ids) -> int:
             tmp = path + ".tmp"
             pq.write_table(pa.table({"doc_id": pa.array(ids, pa.uint64())}), tmp)
             os.rename(tmp, path)
-    total = np.unique(
-        np.concatenate(
-            [
-                pq.read_table(p, columns=["doc_id"])["doc_id"]
-                .to_numpy(zero_copy_only=False)
-                .astype(np.uint64)
-                for p in glob.glob(os.path.join(tomb_dir, "*.parquet"))
-            ]
-        )
-    ) if glob.glob(os.path.join(tomb_dir, "*.parquet")) else np.zeros(0)
-    return int(len(total))
+    return int(len(load_tombstones(index_dir)))
 
 
 def compact_index(index_dir: str, out_dir: str, cfg=None) -> dict:
@@ -538,21 +546,7 @@ def compact_index(index_dir: str, out_dir: str, cfg=None) -> dict:
 
     manifest = _load_json(os.path.join(index_dir, "manifest.json"))
     cfg = cfg or BuildConfig(**manifest["config"])
-    tomb = sorted(glob.glob(os.path.join(index_dir, "tombstones", "*.parquet")))
-    deleted = (
-        np.unique(
-            np.concatenate(
-                [
-                    pq.read_table(p, columns=["doc_id"])["doc_id"]
-                    .to_numpy(zero_copy_only=False)
-                    .astype(np.uint64)
-                    for p in tomb
-                ]
-            )
-        )
-        if tomb
-        else np.zeros(0, dtype=np.uint64)
-    )
+    deleted = load_tombstones(index_dir)
 
     os.makedirs(out_dir, exist_ok=True)
     new_runs = os.path.join(out_dir, "runs")
@@ -650,14 +644,11 @@ def refresh_bounds(index_dir: str) -> None:
         for d in sorted(glob.glob(os.path.join(index_dir, "postings", "part=*")))
     ]
     cfg = BuildConfig(**manifest["config"])
-    enc_kwargs = {}
-    if cfg.encode_concurrency:
-        enc_kwargs["concurrency"] = cfg.encode_concurrency
     ray.data.from_items(specs).map_batches(
         partial(_encode_part_task, out_dir=index_dir, stats=stats),
         batch_size=1,
         batch_format="pyarrow",
-        **enc_kwargs,
+        **_enc_kwargs(cfg),
     ).to_pandas()
     manifest["stale_ubs"] = False
     _dump_json(manifest, manifest_path)

@@ -74,21 +74,11 @@ class SearchEngine:
         # pool skips them -- while N/avgdl/df stay the stored values until a
         # compacting rebuild (Lucene-style delete semantics; the SQL oracle
         # for gate bm25_deleted recomputes exactly this)
-        self._deleted = np.zeros(0, dtype=np.uint64)
-        tomb = sorted(glob.glob(os.path.join(index_dir, "tombstones", "*.parquet")))
-        if tomb:
-            dd = np.unique(
-                np.concatenate(
-                    [
-                        pq.read_table(t, columns=["doc_id"])["doc_id"]
-                        .to_numpy(zero_copy_only=False)
-                        .astype(np.uint64)
-                        for t in tomb
-                    ]
-                )
-            )
-            # shard-local slice: per-actor tombstone memory is range-bounded
-            self._deleted = dd[(dd >= self.doc_lo) & (dd < self.doc_hi)]
+        from ..index.extend import load_tombstones
+
+        dd = load_tombstones(index_dir)
+        # shard-local slice: per-actor tombstone memory is range-bounded
+        self._deleted = dd[(dd >= self.doc_lo) & (dd < self.doc_hi)]
 
         lex_files = sorted(
             glob.glob(os.path.join(index_dir, "parts", "part=*", "lexicon.parquet"))
