@@ -1047,8 +1047,6 @@ def test_knn_join_block_invariant(vec_ds, tmp_path):
     """The exact kNN graph is invariant to the block split (1 block == the
     trivial all-pairs scan), excludes self-matches, and ranks by
     (rounded cosine desc, neighbor id)."""
-    import os
-
     import pyarrow.parquet as pq
     from wse_ray.functions.ann import knn_join
 
@@ -1071,8 +1069,6 @@ def test_knn_join_block_invariant(vec_ds, tmp_path):
 def test_knn_join_storage_reduce_identical(vec_ds, tmp_path):
     """The storage-shuffled reduce (one task per source block, driver holds
     only N x k) must equal the driver-merge path exactly."""
-    import os
-
     import pyarrow as pa
     import pyarrow.parquet as pq
     from wse_ray.functions.ann import knn_join
@@ -1084,3 +1080,32 @@ def test_knn_join_storage_reduce_identical(vec_ds, tmp_path):
         path, k=4, block_rows=37, scratch_dir=str(tmp_path / "scratch")
     )
     pd.testing.assert_frame_equal(driver, storage)
+
+
+def test_topk_boundary_ties_are_split_invariant(ray_session, tmp_path):
+    """> k duplicate vectors (all cosines tied at a rank-k boundary): the
+    local per-block/batch cut must keep the tie-break winners (lowest ids),
+    so results are identical across block splits, reduce paths, and the
+    brute-force scan — the oracle's (rounded cosine desc, id asc) rule."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from wse_ray.functions.ann import brute_topk, knn_join
+
+    rng = np.random.default_rng(11)
+    mat = rng.normal(size=(30, 8))
+    mat[:10] = mat[0]  # ids 0..9 identical -> 9 tied neighbors each
+    df = pd.DataFrame({"vec_id": np.arange(30), "embedding": list(mat)})
+    path = str(tmp_path / "dups.parquet")
+    pq.write_table(pa.Table.from_pandas(df), path)
+
+    one = knn_join(path, k=4, block_rows=100)
+    many = knn_join(path, k=4, block_rows=7)
+    storage = knn_join(path, k=4, block_rows=7, scratch_dir=str(tmp_path / "s"))
+    pd.testing.assert_frame_equal(one, many)
+    pd.testing.assert_frame_equal(one, storage)
+    # vec 0's neighbors are its tied duplicates, lowest ids first
+    assert one[one["vec_id"] == 0]["nbr_id"].tolist() == [1, 2, 3, 4]
+
+    ds = ray.data.from_pandas(df).repartition(5)
+    bru = brute_topk(ds, query_ids=[0], k=4)
+    assert bru["vec_id"].tolist() == [0, 1, 2, 3]  # rank1 = itself (id tie)

@@ -94,20 +94,40 @@ class _BatchTopK:
         ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         mat = _stack(batch["embedding"])
         sims = cosine_matrix_duckdb(q_mat, mat)  # (n_queries, batch)
-        k = min(self.k, sims.shape[1])
-        out_q, out_v, out_s = [], [], []
-        for qi in range(sims.shape[0]):
-            idx = np.argpartition(-sims[qi], k - 1)[:k]
-            out_q.extend([int(q_ids[qi])] * k)
-            out_v.extend(ids[idx].tolist())
-            out_s.extend(sims[qi, idx].tolist())
+        r, c = _rowwise_topk(sims, ids, self.k)
         return pa.table(
             {
-                "query_id": pa.array(out_q, pa.int64()),
-                "vec_id": pa.array(out_v, pa.int64()),
-                "cosine": pa.array(out_s, pa.float64()),
+                "query_id": pa.array(q_ids[r].astype(np.int64), pa.int64()),
+                "vec_id": pa.array(ids[c], pa.int64()),
+                "cosine": pa.array(sims[r, c], pa.float64()),
             }
         )
+
+
+def _rowwise_topk(m: np.ndarray, dst_ids: np.ndarray, k: int):
+    """Row-wise top-k selection under the FINAL rank order — 6-dp ROUNDED
+    value desc, dst id asc — so ties at the k boundary keep exactly the
+    candidates the final merge would rank first.  (An argpartition on the
+    unrounded values keeps an arbitrary tied subset: with > k duplicates
+    the local cut could drop the tie-break winners, making results depend
+    on the block/batch split and diverge from the SQL oracles.)
+    Returns (row_indices, col_indices) of the selected finite entries."""
+    rows, cols = m.shape
+    kk = min(k, cols)
+    if kk <= 0 or rows == 0:
+        z = np.zeros(0, np.int64)
+        return z, z.copy()
+    flat = m.ravel()
+    order = np.lexsort(
+        (
+            np.tile(dst_ids.astype(np.int64), rows),
+            -np.round(flat, 6),
+            np.repeat(np.arange(rows), cols),
+        )
+    )
+    sel = order[(np.arange(rows * cols) % cols) < kk]
+    sel = sel[np.isfinite(flat[sel])]
+    return sel // cols, sel % cols
 
 
 def _merge_topk(partials: pd.DataFrame, k: int) -> pd.DataFrame:
@@ -252,18 +272,15 @@ def _probe_cell_task(
     )
     ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     mat = _normalize(_stack(t["embedding"]))
-    out_q, out_v, out_s = [], [], []
-    for qi in range(len(q_ids)):
-        if cell not in probe[qi]:
-            continue
-        sims = q_mat[qi] @ mat.T
-        kk = min(k, len(sims))
-        if kk == 0:
-            continue
-        idx = np.argpartition(-sims, kk - 1)[:kk]
-        out_q.extend([int(q_ids[qi])] * kk)
-        out_v.extend(ids[idx].tolist())
-        out_s.extend(sims[idx].tolist())
+    probing = np.array([qi for qi in range(len(q_ids)) if cell in probe[qi]], np.int64)
+    if len(probing) and len(ids):
+        sims = q_mat[probing] @ mat.T  # (probing queries, cell)
+        r, c = _rowwise_topk(sims, ids, k)
+        out_q = q_ids[probing[r]].astype(np.int64).tolist()
+        out_v = ids[c].tolist()
+        out_s = sims[r, c].tolist()
+    else:
+        out_q, out_v, out_s = [], [], []
     return pa.table(
         {
             "query_id": pa.array(out_q, pa.int64()),
@@ -402,15 +419,11 @@ def _knn_block_pair_task(
     out_q, out_v, out_s, out_b = [], [], [], []
 
     def _topk_rows(src_ids, dst_ids, m, src_blk):
-        kk = min(k, m.shape[1])
-        idx = np.argpartition(-m, kk - 1, axis=1)[:, :kk]  # (rows, kk)
-        vals = np.take_along_axis(m, idx, axis=1)
-        keep = np.isfinite(vals)
-        rows = np.repeat(np.arange(m.shape[0]), kk).reshape(m.shape[0], kk)
-        out_q.extend(src_ids[rows[keep]].tolist())
-        out_v.extend(dst_ids[idx[keep]].tolist())
-        out_s.extend(vals[keep].tolist())
-        out_b.extend([src_blk] * int(keep.sum()))
+        r, c = _rowwise_topk(m, dst_ids, k)
+        out_q.extend(src_ids[r].tolist())
+        out_v.extend(dst_ids[c].tolist())
+        out_s.extend(m[r, c].tolist())
+        out_b.extend([src_blk] * len(r))
 
     _topk_rows(ida, idb, sims, bi)
     if bi != bj:

@@ -957,34 +957,13 @@ FROM (VALUES {ANN_LSH_GOLDEN_SF001}) AS t(query_id, rank, vec_id, cosine)
 ORDER BY query_id, rank"""
 
 
-def sql_knn_graph() -> str:
-    # exact recomputation: all-pairs cosine (self excluded), top-5 per
-    # vector on 6-dp rounded cosine with neighbor-id tie-break — the same
-    # rank rule _merge_topk applies
-    return """
-WITH sims AS (
-  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
-         round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                      b.embedding::DOUBLE[]), 6) AS cosine
-  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
-),
-ranked AS (
-  SELECT vec_id, nbr_id, cosine,
-         row_number() OVER (PARTITION BY vec_id
-                            ORDER BY cosine DESC, nbr_id) AS rank
-  FROM sims
-)
-SELECT vec_id, rank::BIGINT AS rank, nbr_id, cosine
-FROM ranked WHERE rank <= 5 ORDER BY vec_id, rank"""
-
-
-def sql_semantic_clusters() -> str:
-    from .engine_queries import SEMANTIC_TAU
-
-    # recursive min-label reachability over the exact kNN edges at the same
-    # threshold (the knn CTE is sql_knn_graph's body)
-    return f"""
-WITH RECURSIVE sims AS (
+# exact all-pairs kNN CTE body (self excluded; DOUBLE cast because
+# list_cosine_similarity computes in float32 on float lists), ranked on
+# 6-dp rounded cosine with neighbor-id tie-break — the same rule
+# ann._merge_topk / _rowwise_topk apply.  SHARED by sql_knn_graph and
+# sql_semantic_clusters so the kNN definition cannot drift between gates.
+_KNN_CTE = """
+sims AS (
   SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
          round(list_cosine_similarity(a.embedding::DOUBLE[],
                                       b.embedding::DOUBLE[]), 6) AS cosine
@@ -995,8 +974,25 @@ knn AS (
          row_number() OVER (PARTITION BY vec_id
                             ORDER BY cosine DESC, nbr_id) AS rank
   FROM sims
-),
-qual AS (SELECT vec_id, nbr_id FROM knn WHERE rank <= 5 AND cosine >= {SEMANTIC_TAU}),
+)"""
+KNN_K = 5
+
+
+def sql_knn_graph() -> str:
+    return f"""
+WITH {_KNN_CTE}
+SELECT vec_id, rank::BIGINT AS rank, nbr_id, cosine
+FROM knn WHERE rank <= {KNN_K} ORDER BY vec_id, rank"""
+
+
+def sql_semantic_clusters() -> str:
+    from .engine_queries import SEMANTIC_TAU
+
+    # recursive min-label reachability over the SAME exact kNN edges
+    # (shared _KNN_CTE) at the pipeline's threshold
+    return f"""
+WITH RECURSIVE {_KNN_CTE},
+qual AS (SELECT vec_id, nbr_id FROM knn WHERE rank <= {KNN_K} AND cosine >= {SEMANTIC_TAU}),
 edges AS (SELECT vec_id AS a, nbr_id AS b FROM qual
           UNION ALL SELECT nbr_id, vec_id FROM qual),
 nodes AS (SELECT DISTINCT a AS v FROM edges),
