@@ -56,6 +56,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tombstone deletes: doc vanishes from results, stats stay stored
         "bm25_deleted": eq.q_bm25_deleted,
         "bm25_trec": eq.q_bm25_trec,  # TREC tokenizer quirks end-to-end
+        # JSONL source end-to-end (split-scanned read -> index -> serve)
+        "bm25_jsonl": eq.q_bm25_jsonl,
         "search_snippets": eq.q_search_snippets,  # N1-N6 dispatch (pinned-golden oracle)
         # text analysis
         "token_counts": eq.q_token_counts,

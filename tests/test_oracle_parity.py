@@ -59,6 +59,7 @@ SQL_CHECKED = [
     "decontam",
     "bm25_extend",
     "bm25_deleted",
+    "bm25_jsonl",
     "repetition_stats",
     "pii_scrub",
     "lm_score",

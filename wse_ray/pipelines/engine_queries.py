@@ -518,6 +518,48 @@ def q_bm25_trec(sf_dir: str) -> pd.DataFrame:
     )
 
 
+_JSONL_CACHE: dict[str, SearchEngine] = {}
+
+
+def q_bm25_jsonl(sf_dir: str) -> pd.DataFrame:
+    """Disjunctive BM25 over a corpus ingested from JSONL end-to-end: the
+    documents table is rendered once as newline-delimited JSON, read back
+    through the split-scanned ``sources.jsonl.read_jsonl`` source
+    (deterministic line-order docIDs), indexed, and served — same DuckDB
+    oracle as ``bm25_disjunctive`` because the corpus is identical."""
+    if sf_dir not in _JSONL_CACHE:
+        import json as _json
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        from ..sources.jsonl import read_jsonl
+
+        jsonl_path = _index_dir(sf_dir) + "_docs.jsonl"
+        if not os.path.exists(jsonl_path):
+            t = pq.read_table(
+                os.path.join(sf_dir, "documents.parquet"),
+                columns=["doc_id", "text", "source"],
+            ).sort_by("doc_id")
+            tmp = jsonl_path + ".tmp"
+            with open(tmp, "w") as f:
+                for did, tx, src in zip(
+                    t["doc_id"].to_pylist(), t["text"].to_pylist(), t["source"].to_pylist()
+                ):
+                    f.write(_json.dumps({"url": f"doc://{src}/{did}", "text": tx}) + "\n")
+            os.rename(tmp, jsonl_path)
+        out = _index_dir(sf_dir) + "_jsonl"
+        if not os.path.exists(os.path.join(out, "manifest.json")):
+            shutil.rmtree(out, ignore_errors=True)
+        build_index(
+            lambda: read_jsonl(jsonl_path, docs_per_split=100),
+            out,
+            BuildConfig(num_partitions=4, tokenizer_mode="simple"),
+        )
+        _JSONL_CACHE[sf_dir] = SearchEngine(out)
+    return _ranked_rows(_JSONL_CACHE[sf_dir], DISJ_QUERIES, "disjunctive")
+
+
 def q_search_snippets(sf_dir: str) -> pd.DataFrame:
     """Search + snippet generation (N1-N6 dispatch; rows-only check)."""
     from ..query.snippets_stage import attach_snippets

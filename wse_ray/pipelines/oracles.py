@@ -1057,6 +1057,7 @@ def oracle_sql_map() -> dict[str, str]:
         "bm25_sharded": sql_bm25_disjunctive(),
         "bm25_extend": sql_bm25_disjunctive(),
         "bm25_deleted": sql_bm25_deleted(),
+        "bm25_jsonl": sql_bm25_disjunctive(),
         "bm25_trec": sql_bm25_trec(),
         "search_snippets": sql_search_snippets(),
         "dedup_simhash": sql_dedup_simhash(),
