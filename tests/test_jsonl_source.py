@@ -81,3 +81,13 @@ def test_jsonl_to_parquet_roundtrip(ray_session, tmp_path):
     assert len(out) == 3
     ds = read_corpus(str(tmp_path / "pq"), columns=["url", "text"]).to_pandas()
     assert len(ds) == 15 and ds["url"].iloc[0] == "u0"
+
+
+def test_read_jsonl_empty_file(ray_session, tmp_path):
+    from wse_ray.sources.jsonl import read_jsonl
+
+    p = str(tmp_path / "empty.jsonl")
+    open(p, "wb").close()
+    ds = read_jsonl(p)
+    assert ds.count() == 0
+    assert set(ds.schema().names) >= {"url", "text", "docID"}

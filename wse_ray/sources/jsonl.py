@@ -174,6 +174,12 @@ def read_jsonl(
                 {"path": p, "start": s, "end": e, "base": base + b, "count": cnt}
             )
         base += n
+    if not specs:  # only empty/blank files: a valid empty corpus
+        return ray.data.from_arrow(
+            jsonl_docs_table(paths[0], 0, 0).append_column(
+                "docID", pa.array([], pa.uint64())
+            )
+        )
 
     def read_one(batch: pa.Table):
         for i in range(batch.num_rows):
