@@ -36,8 +36,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from wse_ray.pipelines import engine_queries as eq
     from wse_ray.pipelines import relational as rel
 
+    # NOTE on ordering: the driver gates exactly the FIRST 50 entries.  Round 4
+    # front-loads the 8 pipelines that had never had a driver row through r03
+    # (join_priority_revenue .. hll_users_daily) plus the 6 relational entries
+    # last green in r02, and rotates 14 gates that were green in 2-3 consecutive
+    # rounds (search_snippets, token_counts, doc_quality, lang_id,
+    # fingerprint_md5, the dedup_{exact,minhash,ngram,survivors,simhash,
+    # embedding} family, ann_ivf, multimodal_meta, bm25_trec) past position 50;
+    # their oracles and pytest coverage are unchanged, so they stay verifiable.
     return {
-        # search-engine core (SURVEY.md §2: O1-O6, A1, G1-G5, S4-S6, Q2-Q3, K3)
+        # --- never driver-gated before round 4 --------------------------------
+        # big-big storage-shuffled hash join (functions/joins.py)
+        "join_priority_revenue": rel.q_join_priority_revenue,
+        # as-of join (custom operator; DuckDB ASOF LEFT JOIN oracle)
+        "events_asof_purchase": rel.q_events_asof_purchase,
+        # sliding-window aggregate (explode -> grouped aggregate)
+        "events_sliding_window": rel.q_events_sliding_window,
+        # range/interval join ((key, time-bucket) equi-join + exact filter)
+        "click_error_pairs": rel.q_click_error_pairs,
+        # event-level window function (per-key sort + gap cumsum)
+        "session_assignments": rel.q_session_assignments,
+        # distributed quantiles via bounded-state histogram sketch
+        "price_quantiles": rel.q_price_quantiles,
+        # ordered-sequence funnel (view -> click -> purchase strict chain)
+        "funnel": rel.q_funnel,
+        # HyperLogLog bounded-state approx distinct (pinned-golden oracle)
+        "hll_users_daily": eq.q_hll_users_daily,
+        # --- relational gates last green in r02 -------------------------------
+        "revenue_by_nation": rel.q_revenue_by_nation,
+        "events_window": rel.q_events_window,
+        "top_users": rel.q_top_users,
+        "sessionize": rel.q_sessionize,
+        "distinct_users_daily": rel.q_distinct_users_daily,
+        "customers_without_orders": rel.q_customers_without_orders,
+        # --- search-engine core (SURVEY.md §2: O1-O6, A1, G1-G5, S4-S6, Q2-Q3, K3)
         "postings": eq.q_postings,
         "doctable": eq.q_doctable,
         "corpus_stats": eq.q_corpus_stats,
@@ -55,25 +87,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_extend": eq.q_bm25_extend,
         # tombstone deletes: doc vanishes from results, stats stay stored
         "bm25_deleted": eq.q_bm25_deleted,
-        "bm25_trec": eq.q_bm25_trec,  # TREC tokenizer quirks end-to-end
         # JSONL source end-to-end (split-scanned read -> index -> serve)
         "bm25_jsonl": eq.q_bm25_jsonl,
-        "search_snippets": eq.q_search_snippets,  # N1-N6 dispatch (pinned-golden oracle)
-        # text analysis
-        "token_counts": eq.q_token_counts,
         # BPE-ish regex pre-token counting (RE2 kernel, shared pattern)
         "bpe_token_count": eq.q_bpe_token_count,
-        "doc_quality": eq.q_doc_quality,
-        "lang_id": eq.q_lang_id,
         # Gopher-style token n-gram repetition quality signals
         "repetition_stats": eq.q_repetition_stats,
         # PII counts + redacted-text md5 (RE2 kernels, shared patterns)
         "pii_scrub": eq.q_pii_scrub,
         # corpus-unigram LM mean token log-prob (broadcast model, 2 passes)
         "lm_score": eq.q_lm_score,
-        "fingerprint_md5": eq.q_fingerprint_md5,
-        # dedup / similarity
-        "dedup_exact": eq.q_dedup_exact,
         # near-exact dedup over case/whitespace-normalized text
         "dedup_normalized": eq.q_dedup_normalized,
         # deterministic content-hash sampling (stateless, resume-stable)
@@ -93,21 +116,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontam_bloom": eq.q_decontam_bloom,  # pinned-golden oracle (Bloom bits not SQL-expressible)
         # per-domain quota cap (map-side top-k combiner)
         "docs_per_source_cap": eq.q_docs_per_source_cap,
-        # exact-Jaccard SQL oracle; NOTE gate equality is sf-dependent: at
-        # threshold 0.5 the 16x4 LSH candidate filter has ~0.64 recall for
-        # borderline j~0.5 pairs, but the testdata's dups sit at j>=0.9
-        # where recall ~1 (verified sf0.01/sf0.1); an organic corpus with
-        # borderline pairs would need the threshold raised into the
-        # near-certain-recall regime (oracles.py sql_dedup_minhash note)
-        "dedup_minhash": eq.q_dedup_minhash,
-        "dedup_ngram": eq.q_dedup_ngram,  # exact inverted-shingle-index engine
-        "dedup_survivors": eq.q_dedup_survivors,  # connected-components finisher
         # quality-aware survivor: keep the most-token member per cluster
         "dedup_best_survivor": eq.q_dedup_best_survivor,
-        "dedup_simhash": eq.q_dedup_simhash,  # pinned-golden oracle
-        "dedup_embedding": eq.q_dedup_embedding,
         "ann_topk": eq.q_ann_topk,
-        "ann_ivf": eq.q_ann_ivf,  # pinned-golden oracle (approximate by design)
         "ann_lsh": eq.q_ann_lsh,  # pinned-golden oracle (approximate by design)
         # exact kNN graph (block-pair nested-loop join, no broadcast)
         "knn_graph": eq.q_knn_graph,
@@ -118,34 +129,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_embed": eq.q_kmeans_embed,
         # cosine-to-global-centroid semantic-outlier signal
         "embedding_centroid": eq.q_embedding_centroid,
-        "multimodal_meta": eq.q_multimodal_meta,
         # hw1 crawler over a local deterministic page store (no network);
-        # iterative frontier state is not SQL-expressible -> rows-only gate
+        # deterministic frontier -> pinned-golden VALUES oracle (r4)
         "crawl_frontier": eq.q_crawl_frontier,
-        # relational / streaming-shaped demos
         "pricing_summary": rel.q_pricing_summary,
-        "revenue_by_nation": rel.q_revenue_by_nation,
-        # big-big storage-shuffled hash join (functions/joins.py)
-        "join_priority_revenue": rel.q_join_priority_revenue,
-        # as-of join (custom operator; DuckDB ASOF LEFT JOIN oracle)
-        "events_asof_purchase": rel.q_events_asof_purchase,
-        # sliding-window aggregate (explode -> grouped aggregate)
-        "events_sliding_window": rel.q_events_sliding_window,
-        # range/interval join ((key, time-bucket) equi-join + exact filter)
-        "click_error_pairs": rel.q_click_error_pairs,
-        # event-level window function (per-key sort + gap cumsum)
-        "session_assignments": rel.q_session_assignments,
-        # distributed quantiles via bounded-state histogram sketch
-        "price_quantiles": rel.q_price_quantiles,
-        # ordered-sequence funnel (view -> click -> purchase strict chain)
-        "funnel": rel.q_funnel,
-        "events_window": rel.q_events_window,
-        "top_users": rel.q_top_users,
-        "sessionize": rel.q_sessionize,
-        "distinct_users_daily": rel.q_distinct_users_daily,
-        # HyperLogLog bounded-state approx distinct (pinned-golden oracle)
-        "hll_users_daily": eq.q_hll_users_daily,
-        "customers_without_orders": rel.q_customers_without_orders,
+        # --- positions 51+: rotated out of the driver window after 2-3
+        # --- consecutive green rounds (r01-r03); oracles + pytest unchanged
+        "bm25_trec": eq.q_bm25_trec,  # TREC tokenizer quirks end-to-end
+        "search_snippets": eq.q_search_snippets,  # N1-N6 dispatch (pinned-golden oracle)
+        "token_counts": eq.q_token_counts,
+        "doc_quality": eq.q_doc_quality,
+        "lang_id": eq.q_lang_id,
+        "fingerprint_md5": eq.q_fingerprint_md5,
+        "dedup_exact": eq.q_dedup_exact,
+        # exact-Jaccard SQL oracle; NOTE gate equality is sf-dependent: at
+        # threshold 0.5 the 16x4 LSH candidate filter has ~0.64 recall for
+        # borderline j~0.5 pairs, but the testdata's dups sit at j>=0.9
+        # where recall ~1 (verified sf0.01/sf0.1); an organic corpus with
+        # borderline pairs would need the threshold raised into the
+        # near-certain-recall regime (oracles.py sql_dedup_minhash note)
+        "dedup_minhash": eq.q_dedup_minhash,
+        "dedup_ngram": eq.q_dedup_ngram,  # exact inverted-shingle-index engine
+        "dedup_survivors": eq.q_dedup_survivors,  # connected-components finisher
+        "dedup_simhash": eq.q_dedup_simhash,  # pinned-golden oracle
+        "dedup_embedding": eq.q_dedup_embedding,
+        "ann_ivf": eq.q_ann_ivf,  # pinned-golden oracle (approximate by design)
+        "multimodal_meta": eq.q_multimodal_meta,
     }
 
 
