@@ -9,8 +9,8 @@ here (or in wse_ray) calls ray.init()/ray.shutdown().
                  encode) and answer the fixed BM25 query set from it.
 ``queries()``  — one callable per implemented operator/pipeline
                  (SURVEY.md §2 + the training-data operators).
-``oracle_sql()`` — a DuckDB oracle for EVERY entry except the iterative
-                 crawler: independent recomputation SQL where expressible
+``oracle_sql()`` — a DuckDB oracle for EVERY entry:
+                 independent recomputation SQL where expressible
                  (incl. exact-Jaccard for the MinHash pipeline,
                  marker-argmax for lang-id, byte arithmetic for the
                  multimodal stub, the exact A-ES draw for weighted

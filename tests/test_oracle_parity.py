@@ -103,6 +103,7 @@ SQL_CHECKED = [
     "decontam_bloom",
     "kmeans_embed",
     "hll_users_daily",
+    "crawl_frontier",
 ]
 
 

@@ -48,6 +48,7 @@ def main():
         ("DECONTAM_BLOOM_GOLDEN_SF001", eq.q_decontam_bloom),
         ("KMEANS_GOLDEN_SF001", eq.q_kmeans_embed),
         ("HLL_GOLDEN_SF001", eq.q_hll_users_daily),
+        ("CRAWL_GOLDEN_SF001", eq.q_crawl_frontier),
     ]
     out_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..", "wse_ray", "pipelines", "goldens.py"

@@ -1168,9 +1168,10 @@ def q_crawl_frontier(sf_dir: str) -> pd.DataFrame:
     in this container; fetch resolves against a local page-store parquet —
     wse_ray/crawl.py documents the re-expression and pinned deviations).
 
-    No SQL oracle: a priority-frontier crawl with evolving discovery-count
-    scores is iterative state, not a relational query — the driver records
-    the weaker rows-only check; semantics are pinned by tests/test_crawl.py
+    Oracle: pinned-golden VALUES (oracles.sql_crawl_frontier) — the crawl is
+    iterative frontier state, not a relational query, but the synthetic web
+    store/seeds/round size are deterministic so the full fetch log pins;
+    semantics are independently verified by tests/test_crawl.py
     (hand-verified scores, filters, budget and robots behavior)."""
     import os as _os
 

@@ -1045,6 +1045,26 @@ FROM (VALUES {HLL_GOLDEN_SF001}) AS t(day, n_users_approx)
 ORDER BY day"""
 
 
+def sql_crawl_frontier() -> str:
+    from .goldens import CRAWL_GOLDEN_SF001
+
+    # pinned-golden oracle: the priority-frontier crawl is iterative state
+    # (discovery counts evolve as pages are fetched), not a relational
+    # query — but the synthetic web store, the seeds and the round size are
+    # all deterministic, so the full fetch log is pinnable.  Filter/score/
+    # budget semantics are independently hand-verified in tests/test_crawl.py;
+    # this pin upgrades the driver gate from rows-only to hash-matched.
+    return f"""
+SELECT ord::BIGINT AS ord, round::BIGINT AS round, url::VARCHAR AS url,
+       priority::DOUBLE AS priority, status::BIGINT AS status,
+       size::BIGINT AS size, lang::VARCHAR AS lang,
+       in_sample::BIGINT AS in_sample,
+       n_links_enqueued::BIGINT AS n_links_enqueued
+FROM (VALUES {CRAWL_GOLDEN_SF001})
+  AS t(ord, round, url, priority, status, size, lang, in_sample, n_links_enqueued)
+ORDER BY ord"""
+
+
 def oracle_sql_map() -> dict[str, str]:
     return {
         "postings": sql_postings(),
@@ -1111,4 +1131,5 @@ def oracle_sql_map() -> dict[str, str]:
         "sessionize": sql_sessionize(),
         "distinct_users_daily": sql_distinct_users_daily(),
         "customers_without_orders": sql_customers_without_orders(),
+        "crawl_frontier": sql_crawl_frontier(),
     }
