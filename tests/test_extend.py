@@ -92,23 +92,56 @@ def test_extend_doc_layout_sharded(ray_session, split_corpus, tmp_path_factory):
 def test_extend_term_layout_matches_full_rebuild(
     ray_session, split_corpus, tmp_path_factory
 ):
-    """Term layout: delta exchange + re-encode -> bounds are FRESH, so
-    pruned mode needs no fallback and still matches the full rebuild."""
+    """Term layout: delta exchange + O(delta) staged re-encode — ONLY the
+    partitions that received delta rows are re-encoded (swapped in with no
+    serving gap); untouched partitions keep their encode byte-for-byte and
+    stale_ubs gates pruning until refresh_bounds re-bakes the bounds."""
+    import glob as _glob
+
     corpus_dir, a_files, b_files = split_corpus
     full = str(tmp_path_factory.mktemp("full_term"))
     inc = str(tmp_path_factory.mktemp("inc_term"))
     cfg = BuildConfig(num_partitions=4, heavy_df_threshold=50, heavy_subparts=2)
     build_index(corpus_dir, full, cfg)
     build_index(a_files, inc, cfg)
+
+    def _part_sig(root):
+        out = {}
+        for d in _glob.glob(os.path.join(root, "parts", "part=*")):
+            files = sorted(_glob.glob(os.path.join(d, "*")))
+            out[os.path.basename(d)] = [
+                (os.path.basename(f), os.stat(f).st_size, os.stat(f).st_mtime_ns)
+                for f in files
+            ]
+        return out
+
+    before = _part_sig(inc)
     extend_index(inc, b_files)
+    after = _part_sig(inc)
+
+    delta_parts = {
+        f"part={int(os.path.basename(os.path.dirname(f)).split('=')[1]):05d}"
+        for f in _glob.glob(os.path.join(inc, "postings", "part=*", "delta001-*.parquet"))
+    }
+    assert delta_parts, "delta must land somewhere"
+    untouched = set(before) - delta_parts
+    assert untouched, "O(delta) evidence needs at least one untouched partition"
+    for p in untouched:  # byte-identical including mtime: never re-encoded
+        assert after[p] == before[p], p
+    for p in delta_parts:
+        assert after[p] != before.get(p), p
 
     e_full = SearchEngine(full)
     e_inc = SearchEngine(inc)
     assert e_inc.stats == e_full.stats
-    assert not e_inc._stale_ubs  # re-encoded with the new stats
+    assert e_inc._stale_ubs  # untouched partitions carry old-stats bounds
     _assert_identical(
         e_inc, e_full, modes=("disjunctive", "conjunctive", "disjunctive_pruned")
     )
+    refresh_bounds(inc)
+    e_ref = SearchEngine(inc)
+    assert not e_ref._stale_ubs
+    _assert_identical(e_ref, e_full, modes=("disjunctive_pruned",))
 
 
 def test_extend_second_generation(ray_session, tmp_path_factory):
@@ -385,3 +418,94 @@ def test_resume_reuses_stamped_delta_partitions(ray_session, tmp_path_factory):
         assert e_inc.search(q["query"], q["mode"], q["k"]) == e_full.search(
             q["query"], q["mode"], q["k"]
         )
+
+
+def test_callable_delta_docid_guards(ray_session, tmp_path_factory):
+    """A callable delta corpus with wrong docIDs is rejected: a floor
+    violation fails INSIDE the tokenize map, before any run file could
+    clobber base/earlier-generation files (which must survive untouched);
+    a gap-shifted range (count right, endpoints wrong) fails the
+    contiguity check; a correct retry then completes normally."""
+    import shutil
+
+    import pyarrow as pa
+    import ray.data
+
+    from wse_ray.fixtures import make_corpus
+    from wse_ray.index.extend import extend_index
+
+    d = str(tmp_path_factory.mktemp("guard_corpus"))
+    paths = write_corpus_parquet(d, 200, n_files=4)
+    idx = str(tmp_path_factory.mktemp("guard_idx"))
+    build_index(paths[:2], idx, BuildConfig(num_partitions=2, partition_by="doc"))
+
+    t = make_corpus(200)
+
+    def corpus_with_ids(lo_id):
+        def corpus():
+            tt = t.slice(100, 100).append_column(
+                "docID", pa.array(range(lo_id, lo_id + 100), pa.uint64())
+            )
+            return ray.data.from_arrow(tt)
+
+        return corpus
+
+    def runs_sig():
+        rd = os.path.join(idx, "runs")
+        return {
+            f: (os.stat(os.path.join(rd, f)).st_size,
+                os.stat(os.path.join(rd, f)).st_mtime_ns)
+            for f in os.listdir(rd)
+            if f.endswith(".parquet")
+        }
+
+    gen_dir = os.path.join(idx, "ext_gen001")
+    before = runs_sig()
+
+    # 1. floor violation: docIDs collide with the base range [0, 100)
+    with pytest.raises(Exception, match="extension floor"):
+        extend_index(idx, corpus_with_ids(0))
+    assert runs_sig() == before  # base run files byte-untouched
+    shutil.rmtree(gen_dir)  # abandon the failed generation
+
+    # 2. gap-shifted range: right count, docIDs start at n_before + 10
+    with pytest.raises(ValueError, match="contiguous"):
+        extend_index(idx, corpus_with_ids(110))
+    assert {f for f in runs_sig()} - set(before) <= {
+        f for f in runs_sig() if int(f[len("run-"):-len(".parquet")]) >= 100
+    }  # only delta-range files were written
+    shutil.rmtree(gen_dir)
+
+    # 3. correct retry completes and matches the full rebuild
+    extend_index(idx, corpus_with_ids(100))
+    full = str(tmp_path_factory.mktemp("guard_full"))
+    build_index(d, full, BuildConfig(num_partitions=2, partition_by="doc"))
+    e_inc, e_full = SearchEngine(idx), SearchEngine(full)
+    assert e_inc.stats == e_full.stats
+    for q in make_queries()[:8]:
+        assert e_inc.search(q["query"], q["mode"], q["k"]) == e_full.search(
+            q["query"], q["mode"], q["k"]
+        )
+
+
+def test_callable_fingerprint_distinguishes_defaults(ray_session):
+    """Two callables from the same factory differing only via __defaults__
+    / __kwdefaults__ must fingerprint differently (the mid-generation
+    corpus guard keys on the fingerprint)."""
+    from wse_ray.index.extend import _corpus_fingerprint
+
+    def factory(lo):
+        def corpus(lo=lo):
+            return lo
+
+        return corpus
+
+    def factory_kw(lo):
+        def corpus(*, lo=lo):
+            return lo
+
+        return corpus
+
+    assert _corpus_fingerprint(factory(1)) != _corpus_fingerprint(factory(2))
+    assert _corpus_fingerprint(factory_kw(1)) != _corpus_fingerprint(factory_kw(2))
+    assert _corpus_fingerprint(factory(1)) == _corpus_fingerprint(factory(1))

@@ -100,15 +100,37 @@ class TokenizeWriteRuns:
     through the Dataset.  Writes are atomic (tmp + rename).
     """
 
-    def __init__(self, runs_dir: str, mode: str, heavy_threshold: int, approx_docs: int):
+    def __init__(
+        self,
+        runs_dir: str,
+        mode: str,
+        heavy_threshold: int,
+        approx_docs: int,
+        min_docid: int | None = None,
+    ):
         self.runs_dir = runs_dir
         self.tokenize = TokenizeDocs(mode)
         self.threshold = heavy_threshold
         self.approx_docs = approx_docs  # <= 0: unknown (callable corpus)
+        # extension guard: a delta corpus must not write run files whose
+        # min docID collides with the base/earlier-generation range — check
+        # BEFORE the file write so a misbehaving callable can never clobber
+        # run-<id>.parquet files the doctable and compaction depend on
+        self.min_docid = min_docid
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         runs = self.tokenize(batch)
         if runs.num_rows:
+            if self.min_docid is not None:
+                import pyarrow.compute as pc
+
+                lo = int(pc.min(runs["docID"]).as_py())
+                if lo < self.min_docid:
+                    raise ValueError(
+                        f"delta corpus produced docID {lo} below the index "
+                        f"extension floor {self.min_docid}; delta docIDs must "
+                        f"start at the floor and be contiguous"
+                    )
             # deterministic filename from the batch's min docID (docIDs are
             # globally unique and batches are disjoint row ranges): a Ray
             # task re-execution rewrites the SAME file instead of silently

@@ -27,19 +27,34 @@ Two strategies, chosen by the index's ``partition_by`` layout:
   ``refresh_bounds`` re-encodes (results identical either way — pruning is
   an optimization, never a semantic).
 
-* ``term`` (delta exchange + re-encode, fresh bounds): delta postings rows
+* ``term`` (delta exchange + O(delta) re-encode): delta postings rows
   are routed with the SAME assigner params as the base build (hash(term)%P;
   heavy terms keep the base heavy list, their >=N_old docIDs clip into the
   last docID sub-segment — routing is correctness-neutral, segments stay
   docID-disjoint per term) and appended as extra files into the existing
-  ``postings/part=K`` dirs; phase 3 then re-encodes every partition from
-  its (base + delta) rows with the NEW stats, so chunk bounds are exact
-  and pruned mode needs no gate.  Cost: re-encode of all partitions — but
-  never re-tokenize, never re-exchange the base.
+  ``postings/part=K`` dirs; phase 3 then re-encodes ONLY the partitions
+  that received delta rows — each into a staging dir first and swapped
+  into ``parts/`` with two renames, so a concurrently-serving engine never
+  observes a missing partition.  Untouched partitions keep their baked
+  (old-stats) chunk bounds, so ``stale_ubs`` stays set exactly as in the
+  doc layout (pruned mode silently serves exhaustive — identical results)
+  until the opt-in ``refresh_bounds`` re-bakes every bound at the new
+  stats.  Cost: re-encode proportional to the delta's term spread — never
+  re-tokenize, never re-exchange the base, never all partitions.
 
 Both strategies serve BIT-IDENTICAL search results to a from-scratch
 rebuild of the concatenated corpus (tests/test_extend.py pins this for
 every query mode, single-node and sharded).
+
+Serving DURING an extension (either layout) is a documented maintenance
+window, not a correctness hole: ``stale_ubs`` is published before the new
+stats (crash-window ordering, pinned by test_stale_ubs_visible_before_new
+_stats) so pruning is never unsound, and the worst mid-window observation
+is the new stats with not-yet-encoded delta partitions — delta docIDs then
+surface only as zero-score pad rows until their parts land.  We keep the
+stats-before-parts order deliberately: the reverse (parts before stats)
+would let the scorer read delta docIDs >= stats.N, which it does not
+guard; zero-pad phantoms are benign, out-of-range docIDs are not.
 
 Resume: each extension generation keeps its phase markers under
 ``ext_genNNN/``; an interrupted extension is resumed by calling
@@ -60,6 +75,7 @@ from typing import Callable
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..config import BuildConfig
@@ -76,6 +92,49 @@ def _enc_kwargs(cfg: BuildConfig) -> dict:
     """map_batches kwargs for encode stages: cap concurrency when the
     config bounds per-node heap (each task holds one decoded partition)."""
     return {"concurrency": cfg.encode_concurrency} if cfg.encode_concurrency else {}
+
+
+def _encode_parts_staged(
+    index_dir: str, specs: list[dict], stats: dict, cfg: BuildConfig, staging_root: str
+) -> None:
+    """Re-encode partitions WITHOUT a serving gap: encode every spec into
+    ``staging_root/parts/part=K`` (the normal atomic per-partition encode,
+    resumable via its _SUCCESS marker), then swap each into the live
+    ``parts/`` with two renames.  A concurrently-serving SearchEngine never
+    observes a missing partition dir — at worst it holds open files of the
+    pre-swap encode, which remain valid on POSIX until closed.  ``swap-*``
+    markers in ``staging_root`` make the swap idempotent across crashes
+    (an already-swapped partition is not re-encoded on resume)."""
+    import ray
+    import ray.data
+
+    todo = [
+        s
+        for s in specs
+        if not _flag(os.path.join(staging_root, f"swap-{int(s['part']):05d}.done"))
+    ]
+    if not todo:
+        return
+    os.makedirs(staging_root, exist_ok=True)
+    ray.data.from_items(todo).map_batches(
+        partial(_encode_part_task, out_dir=staging_root, stats=stats),
+        batch_size=1,
+        batch_format="pyarrow",
+        **_enc_kwargs(cfg),
+    ).to_pandas()
+    parts_root = os.path.join(index_dir, "parts")
+    os.makedirs(parts_root, exist_ok=True)
+    for s in todo:
+        name = f"part={int(s['part']):05d}"
+        src = os.path.join(staging_root, "parts", name)
+        dst = os.path.join(parts_root, name)
+        trash = os.path.join(staging_root, f"old-{name}")
+        shutil.rmtree(trash, ignore_errors=True)
+        if os.path.isdir(dst):
+            os.rename(dst, trash)
+        os.rename(src, dst)
+        shutil.rmtree(trash, ignore_errors=True)
+        _touch(os.path.join(staging_root, f"swap-{int(s['part']):05d}.done"))
 
 
 def load_tombstones(index_dir: str) -> np.ndarray:
@@ -123,6 +182,12 @@ def _corpus_fingerprint(corpus) -> str:
                 h.update(repr(cell.cell_contents).encode())
             except ValueError:  # empty cell
                 h.update(b"<empty>")
+        # parameters can also arrive as defaults rather than closure cells
+        # (factories that bake arguments into def f(x, lo=lo): ...) — fold
+        # them in so same-factory callables differing only by defaults get
+        # distinct fingerprints
+        h.update(repr(getattr(corpus, "__defaults__", None)).encode())
+        h.update(repr(getattr(corpus, "__kwdefaults__", None)).encode())
         return f"callable:{h.hexdigest()}"
     from ..sources.corpus import list_corpus_files, rowgroup_specs
 
@@ -265,6 +330,10 @@ def extend_index(
             cfg.tokenizer_mode,
             manifest.get("heavy_df_threshold", 1 << 62),  # heavy list is frozen
             approx_docs=0,
+            # rejects any batch with docIDs below n_before INSIDE the map,
+            # before its run file is written — a bad callable can therefore
+            # never overwrite base/earlier-generation run files
+            min_docid=n_before,
         )
         if callable(corpus):
             ds = corpus().map_batches(
@@ -301,15 +370,36 @@ def extend_index(
             "max_dl": int(partials["max_dl"].max()) if len(partials) else 0,
         }
         if callable(corpus) and delta["n"]:
-            # a callable owns its docIDs: verify they continue the index
-            # (every tokenized row must have landed in a >= n_before file)
+            # a callable owns its docIDs: verify they exactly continue the
+            # index — count AND endpoints, so a gap-shifted range (docIDs
+            # starting at n_before+g) cannot slip through with a doc_ranges
+            # manifest entry that zero-pads phantom docIDs (per-batch
+            # floor violations were already rejected inside the map)
             files = _delta_run_files(runs_dir, n_before)
-            n_file_rows = sum(pq.ParquetFile(p).metadata.num_rows for p in files)
-            if n_file_rows != delta["n"]:
+            n_file_rows = 0
+            lo = hi = None
+            for p in files:
+                md = pq.ParquetFile(p).metadata
+                n_file_rows += md.num_rows
+                ci = [
+                    md.schema.column(i).name for i in range(md.num_columns)
+                ].index("docID")
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(ci).statistics
+                    if st is not None and st.has_min_max:
+                        rmin, rmax = int(st.min), int(st.max)
+                    else:  # stats missing: read the one column
+                        col = pq.read_table(p, columns=["docID"])["docID"]
+                        rmin = int(pc.min(col).as_py())
+                        rmax = int(pc.max(col).as_py())
+                    lo = rmin if lo is None else min(lo, rmin)
+                    hi = rmax if hi is None else max(hi, rmax)
+            want_hi = n_before + delta["n"] - 1
+            if n_file_rows != delta["n"] or lo != n_before or hi != want_hi:
                 raise ValueError(
-                    f"callable delta corpus docIDs must be contiguous and "
-                    f">= {n_before}: {n_file_rows} rows landed in the "
-                    f"delta docID range, {delta['n']} were tokenized"
+                    f"callable delta corpus docIDs must be contiguous in "
+                    f"[{n_before}, {want_hi}]: got {n_file_rows} rows "
+                    f"(expected {delta['n']}) spanning [{lo}, {hi}]"
                 )
         _dump_json(delta, delta_stats_path)
         _touch(p1_marker)
@@ -322,8 +412,8 @@ def extend_index(
         # bound (computed at N_old) is no longer a sound upper bound, so
         # the pruning gate must be visible FIRST — otherwise a crash (or a
         # concurrently restarting actor) between the two writes would
-        # serve unsound MaxScore pruning.  Term layout clears the flag
-        # after its re-encode; doc layout keeps it until refresh_bounds.
+        # serve unsound MaxScore pruning.  Both layouts keep the flag
+        # until the opt-in refresh_bounds re-bakes every chunk bound.
         manifest["stale_ubs"] = True
         _dump_json(manifest, manifest_path)
     _dump_json(new_stats, stats_path)
@@ -460,29 +550,36 @@ def extend_index(
                     os.rename(f, os.path.join(dst, f"delta{gen:03d}-{i:05d}.parquet"))
             _touch(p2_marker)
             timings["postings"] = time.perf_counter() - t0
-        cleared = os.path.join(gen_dir, "parts_cleared.done")
         if not _flag(p3_marker):
             t0 = time.perf_counter()
-            if not _flag(cleared):
-                # chunk bounds must be recomputed with the new stats, and a
-                # partition's single term segment must absorb the delta rows
-                # -> every partition re-encodes (resumable per part)
-                for d in glob.glob(os.path.join(parts_root, "part=*")):
-                    shutil.rmtree(d, ignore_errors=True)
-                _touch(cleared)
+            # O(delta): only partitions that actually received delta rows
+            # need a re-encode (their term segments must absorb the new
+            # docIDs); every other partition's postings are unchanged and
+            # its encode stays valid — only its baked chunk bounds are old,
+            # which the stale_ubs gate (set in phase 1) already covers.
+            # Staged encode + rename swap: no serving gap (helper docstring).
+            delta_dirs = sorted(
+                {
+                    os.path.dirname(f)
+                    for f in glob.glob(
+                        os.path.join(
+                            postings_dir, "part=*", f"delta{gen:03d}-*.parquet"
+                        )
+                    )
+                }
+            )
             specs = [
                 {"src": d, "part": int(os.path.basename(d).split("=")[1])}
-                for d in sorted(glob.glob(os.path.join(postings_dir, "part=*")))
+                for d in delta_dirs
             ]
-            ray.data.from_items(specs).map_batches(
-                partial(_encode_part_task, out_dir=index_dir, stats=new_stats),
-                batch_size=1,
-                batch_format="pyarrow",
-                **_enc_kwargs(cfg),
-            ).to_pandas()
+            _encode_parts_staged(
+                index_dir, specs, new_stats, cfg, os.path.join(gen_dir, "enc")
+            )
             _touch(p3_marker)
             timings["parts"] = time.perf_counter() - t0
-        manifest["stale_ubs"] = False  # bounds re-baked with the new stats
+        # stale_ubs stays SET (phase 1): untouched partitions still carry
+        # bounds baked at the old stats; refresh_bounds is the opt-in
+        # re-bake that restores pruned mode (results identical either way)
         record_parts = []
 
     record = {
@@ -623,32 +720,26 @@ def compact_index(index_dir: str, out_dir: str, cfg=None) -> dict:
 
 def refresh_bounds(index_dir: str) -> None:
     """Re-encode every partition from the durable postings exchange with the
-    CURRENT stats, restoring sound per-chunk BM25 upper bounds after doc-
-    layout extensions (clears ``stale_ubs``; pruned mode is exact again)."""
-    import time
-
-    import ray
-    import ray.data
-
-    timings: dict[str, float] = {}
+    CURRENT stats, restoring sound per-chunk BM25 upper bounds after an
+    extension (clears ``stale_ubs``; pruned mode is exact again).  Uses the
+    staged encode + rename swap, so serving never observes a missing
+    partition dir; the staging root is removed on completion."""
     manifest_path = os.path.join(index_dir, "manifest.json")
     manifest = _load_json(manifest_path)
     if not manifest.get("stale_ubs"):
         return
     stats = _load_json(os.path.join(index_dir, "stats.json"))
-    parts_root = os.path.join(index_dir, "parts")
-    for d in glob.glob(os.path.join(parts_root, "part=*")):
-        shutil.rmtree(d, ignore_errors=True)
     specs = [
         {"src": d, "part": int(os.path.basename(d).split("=")[1])}
         for d in sorted(glob.glob(os.path.join(index_dir, "postings", "part=*")))
     ]
     cfg = BuildConfig(**manifest["config"])
-    ray.data.from_items(specs).map_batches(
-        partial(_encode_part_task, out_dir=index_dir, stats=stats),
-        batch_size=1,
-        batch_format="pyarrow",
-        **_enc_kwargs(cfg),
-    ).to_pandas()
+    # staging root keyed by the stats it bakes: a LATER refresh (after a
+    # further extension) must not inherit this run's swap markers, while a
+    # crashed refresh at the SAME N resumes through them
+    staging = os.path.join(index_dir, f"bounds_refresh_N{stats['N']}")
+    _encode_parts_staged(index_dir, specs, stats, cfg, staging)
     manifest["stale_ubs"] = False
     _dump_json(manifest, manifest_path)
+    for d in glob.glob(os.path.join(index_dir, "bounds_refresh_N*")):
+        shutil.rmtree(d, ignore_errors=True)
