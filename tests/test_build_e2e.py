@@ -140,3 +140,45 @@ def test_callable_corpus_partials_bounded(tmp_path):
     tok2 = TokenizeWriteRuns(str(tmp_path), "simple", heavy_threshold=10, approx_docs=n_docs)
     out2 = tok2(batch)
     assert out2.num_rows >= 1
+
+
+def test_extract_batch_matches_scalar(tiny_corpus):
+    """The vectorized buffer-level kernel must equal the scalar reference
+    byte-for-byte over the fixture corpus AND over adversarial rows:
+    missing tags, end-before-begin, empty rows, multi-occurrence, and tag
+    bytes that only form a match ACROSS a row boundary in the concatenated
+    Arrow data buffer (must NOT match)."""
+    import pyarrow as pa
+
+    from wse_ray.stages.extract import ExtractText, extract_batch, extract_content
+
+    rows = [tiny_corpus["html"][i].as_py() for i in range(20)]
+    rows += [
+        b"",
+        b"<body>",
+        b"</body>",
+        b"</body>pre<body>post",          # end before begin -> empty
+        b"no tags at all",
+        b"<body>only begin, no end",
+        b"only end</body>tail",
+        b"<body>first</body><body>second</body>",  # first-match semantics
+        b"x<bo",                           # begin tag split across...
+        b"dy>y</bo",                       # ...row boundaries: no match
+        b"dy>z",
+        b"\x00\xff<body>\x80bin\x00</body>\xfe",  # non-UTF8 bytes
+    ]
+    for typ in (pa.large_binary(), pa.binary()):
+        col = pa.array(rows, typ)
+        got = extract_batch(col, b"<body>", b"</body>")
+        want = [extract_content(r, b"<body>", b"</body>") for r in rows]
+        assert got.to_pylist() == want, typ
+        # sliced-offset view (non-zero col.offset) must read the right rows
+        got_sliced = extract_batch(col.slice(3, 9), b"<body>", b"</body>")
+        assert got_sliced.to_pylist() == want[3:12], typ
+
+    # stage-level: url passthrough + large_binary output dtype
+    t = pa.table({"url": pa.array(["u"] * len(rows)), "html": pa.array(rows, pa.large_binary())})
+    out = ExtractText()(t)
+    assert out.column_names == ["url", "text"]
+    assert out["text"].type == pa.large_binary()
+    assert out["text"].to_pylist() == [extract_content(r, b"<body>", b"</body>") for r in rows]
