@@ -117,7 +117,9 @@ def weighted_sample(
     round(ln(u)/w, 9) DESC, id)``.  The key is QUANTIZED to 9 dp before
     ranking because DuckDB's ``ln`` drifts from numpy's by 1 ulp on some
     inputs (measured), which would flip near-tied ranks; ties created by
-    the quantization break by id on both sides.
+    the quantization break by id on both sides.  Non-positive weights are
+    clamped to 1e-300 (key -> huge negative: effectively never drawn); the
+    SQL oracle mirrors the clamp with ``greatest(w, 1e-300)``.
     """
 
     def local_topk(t: pa.Table) -> pa.Table:

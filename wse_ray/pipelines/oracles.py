@@ -444,12 +444,15 @@ def sql_sample_weighted() -> str:
     # exact recomputation of the A-ES draw: u from the md5(id:salt) hex
     # prefix, key = round(ln(u)/w, 9), top-20 by (key desc, id).  The 9 dp
     # quantization absorbs DuckDB-vs-numpy 1-ulp ln drift (sampling.py
-    # weighted_sample docstring)
+    # weighted_sample docstring).  greatest(w, 1e-300) mirrors the engine's
+    # np.maximum clamp so degenerate (<= 0) weights agree on both sides
+    # instead of diverging (DuckDB ln(u)/0 vs a finite huge-negative key)
     return """
 WITH keyed AS (
   SELECT doc_id, n_chars::DOUBLE AS weight,
          round(ln((CAST('0x' || substr(md5(doc_id || ':ws'), 1, 8) AS UBIGINT)
-                   + 0.5) / 4294967296.0) / n_chars, 9) AS lnkey
+                   + 0.5) / 4294967296.0)
+               / greatest(n_chars::DOUBLE, 1e-300), 9) AS lnkey
   FROM documents
 )
 SELECT row_number() OVER (ORDER BY lnkey DESC, doc_id)::BIGINT AS rank,
