@@ -64,7 +64,7 @@ def test_heavy_term_was_split(built, engine, oracle):
 
 
 def test_postings_match_oracle(engine, oracle):
-    assert set(engine._term_run) == set(oracle.postings)
+    assert set(engine.vocab()) == set(oracle.postings)
     for term, plist in oracle.postings.items():
         d, t, dl = engine.postings(term)
         want_ids = np.array([p[0] for p in plist], dtype=np.uint64)

@@ -20,7 +20,7 @@ def test_build_from_html_identical(ray_session, tiny_corpus_dir, tmp_path_factor
     build_index(tiny_corpus_dir, out_b, cfg, from_html=True)
     ea, eb = SearchEngine(out_a), SearchEngine(out_b)
     assert ea.N == eb.N and ea.avgdl == eb.avgdl
-    assert set(ea._term_run) == set(eb._term_run)
+    assert ea.vocab() == eb.vocab()
     for q in make_queries()[:10]:
         assert ea.search(q["query"], q["mode"], q["k"]) == eb.search(
             q["query"], q["mode"], q["k"]

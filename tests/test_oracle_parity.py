@@ -122,7 +122,7 @@ def test_sql_parity(ql, con, name):
 # gates that are DECLARED rows-only: iterative/stateful pipelines whose
 # semantics SQL cannot recompute (the driver records the weaker rows-only
 # check for these; pytest pins their behavior instead)
-ROWS_ONLY = {"crawl_frontier"}
+ROWS_ONLY: set[str] = set()  # r4: crawl_frontier gained a pinned-golden oracle
 
 
 def test_every_query_has_an_oracle(ql):

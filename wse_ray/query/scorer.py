@@ -33,6 +33,7 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..codec import decode_posting_list
@@ -112,21 +113,36 @@ class SearchEngine:
             c: lex[c].to_numpy()
             for c in ("part", "offset", "length", "first_docid", "last_docid", "df_seg")
         }
-        terms = np.asarray(lex["term"].to_pylist(), dtype=object)
-        if len(terms):
-            starts = np.flatnonzero(
-                np.concatenate(([True], terms[1:] != terms[:-1]))
-            )
-            ends = np.concatenate((starts[1:], [len(terms)]))
+        # Vocabulary kept as SORTED Arrow buffers probed by binary search,
+        # never as per-term python dicts: at web-scale vocab (1e8+ terms)
+        # the dict-of-bytes (and the object-array detour building it) is
+        # the per-actor memory ceiling, while the Arrow term buffer is just
+        # the concatenated bytes + one int64 offset array (the doctable
+        # below already works the same way).  Run boundaries come from a
+        # vectorized shifted not-equal on the term column — no to_pylist.
+        term_col = lex["term"].combine_chunks().cast(pa.large_binary())
+        n_seg = len(term_col)
+        if n_seg:
+            neq = pc.not_equal(
+                term_col.slice(1), term_col.slice(0, n_seg - 1)
+            ).to_numpy(zero_copy_only=False)
+            starts = np.flatnonzero(np.concatenate(([True], neq))).astype(np.int64)
+            ends = np.concatenate((starts[1:], [n_seg])).astype(np.int64)
             dfs = np.add.reduceat(self._lex["df_seg"], starts)
         else:
-            starts = ends = dfs = np.zeros(0, dtype=np.int64)
-        self._term_run: dict[bytes, tuple[int, int]] = {
-            terms[s]: (int(s), int(e)) for s, e in zip(starts, ends)
-        }
-        self._df: dict[bytes, int] = {
-            terms[s]: int(d) for s, d in zip(starts, dfs)
-        }
+            starts = ends = np.zeros(0, dtype=np.int64)
+            dfs = np.zeros(0, dtype=np.int64)
+        uniq = term_col.take(pa.array(starts, pa.int64())) if n_seg else term_col
+        bufs = uniq.buffers()
+        self._ut_offsets = (
+            np.frombuffer(
+                bufs[1], dtype=np.int64, count=len(uniq) + 1, offset=uniq.offset * 8
+            )
+            if len(uniq)
+            else np.zeros(1, dtype=np.int64)
+        )
+        self._ut_buf = bufs[2].to_pybytes() if bufs[2] is not None else b""
+        self._run_starts, self._run_ends, self._dfs = starts, ends, dfs
         self._seg_lists: dict[bytes, list[dict]] = {}
 
         # the runs checkpoint doubles as the doctable (SURVEY.md S6); a
@@ -166,6 +182,28 @@ class SearchEngine:
 
     _SEG_CACHE_MAX = 1024  # segments; raw bytes only (decoded arrays are not cached)
 
+    def _term_index(self, term: bytes) -> int:
+        """Binary search the sorted unique-term Arrow buffers; index into
+        the run arrays, or -1 if absent.  O(log V) small slice compares —
+        query terms are few, so no per-term dict is ever built."""
+        offs, buf = self._ut_offsets, self._ut_buf
+        lo, hi = 0, len(offs) - 1
+        while lo < hi:
+            mid = (lo + hi) >> 1
+            if buf[offs[mid] : offs[mid + 1]] < term:
+                lo = mid + 1
+            else:
+                hi = mid
+        if lo < len(offs) - 1 and buf[offs[lo] : offs[lo + 1]] == term:
+            return lo
+        return -1
+
+    def vocab(self) -> list[bytes]:
+        """All unique terms, sorted (materializes the vocabulary — debug /
+        test helper, not a query-path API)."""
+        offs, buf = self._ut_offsets, self._ut_buf
+        return [buf[offs[i] : offs[i + 1]] for i in range(len(offs) - 1)]
+
     def _term_segments(self, term: bytes) -> list[dict] | None:
         """Segment descriptors for ``term``, ordered by first_docid (the load
         sort), materialized lazily per queried term — query terms are few,
@@ -173,10 +211,10 @@ class SearchEngine:
         segs = self._seg_lists.get(term)
         if segs is not None:
             return segs
-        run = self._term_run.get(term)
-        if run is None:
+        i = self._term_index(term)
+        if i < 0:
             return None
-        s, e = run
+        s, e = int(self._run_starts[i]), int(self._run_ends[i])
         segs = [
             {k: v[i].item() if hasattr(v[i], "item") else v[i]
              for k, v in self._lex.items()}
@@ -211,10 +249,15 @@ class SearchEngine:
         the cross-shard sums via set_global_dfs (local dfs would skew idf)."""
         if self._df_global is not None:
             return self._df_global.get(term, 0)
-        return self._df.get(term, 0)
+        i = self._term_index(term)
+        return int(self._dfs[i]) if i >= 0 else 0
 
     def local_dfs(self, terms: list[bytes]) -> dict[bytes, int]:
-        return {t: self._df.get(t, 0) for t in terms}
+        out = {}
+        for t in terms:
+            i = self._term_index(t)
+            out[t] = int(self._dfs[i]) if i >= 0 else 0
+        return out
 
     def set_global_dfs(self, dfs: dict[bytes, int]) -> None:
         self._df_global = dfs
