@@ -328,3 +328,57 @@ def test_hot_key_salting_rejects_unsound_modes(ray_session):
         partitioned_join(
             _ds(L), _ds(R), on=["k", "lv"], right_on=["k", "rv"], hot_keys=[2]
         )
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "semi", "anti"])
+def test_auto_split_matches_unsplit(ray_session, how):
+    """The automatic skew valve (stripe oversized left partitions at join
+    time) must be row-invariant vs auto_split=False for every supported
+    how, on an input skewed enough to trigger it."""
+    rng = np.random.default_rng(3)
+    n = 40_000
+    k = rng.integers(0, 200, n).astype(np.int64)
+    k[: n // 2] = HOT  # half the probe rows on one key
+    ls = _pdf(k=k, v=np.arange(n, dtype=np.int64))
+    rk = np.arange(150, dtype=np.int64)  # some keys unmatched on purpose
+    rs = _pdf(k=rk, w=rk * 10)
+    base = partitioned_join(
+        _ds(ls), _ds(rs), on="k", how=how, num_parts=8, auto_split=False
+    ).to_pandas()
+    got = partitioned_join(
+        _ds(ls), _ds(rs), on="k", how=how, num_parts=8
+    ).to_pandas()
+    cols = list(base.columns)
+    a = base.sort_values(cols, na_position="last").reset_index(drop=True)
+    b = got[cols].sort_values(cols, na_position="last").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_auto_split_detects_and_stripes(ray_session, tmp_path, monkeypatch):
+    """The skewed partition must actually be detected (its join fans out
+    into multiple stripe tasks) and cold partitions must stay single-task."""
+    import wse_ray.functions.joins as J
+
+    calls = []
+    orig = J._stripe_units
+
+    def spy(root, part, n):
+        out = orig(root, part, n)
+        calls.append((part, len(out)))
+        return out
+
+    monkeypatch.setattr(J, "_stripe_units", spy)
+    rng = np.random.default_rng(4)
+    n = 40_000
+    k = rng.integers(0, 200, n).astype(np.int64)
+    k[: n // 2] = HOT
+    ls = _pdf(k=k, v=np.arange(n, dtype=np.int64))
+    rs = _pdf(k=np.arange(200, dtype=np.int64), w=np.arange(200, dtype=np.int64))
+    got = partitioned_join(
+        _ds(ls), _ds(rs), on="k", num_parts=8,
+        scratch_dir=str(tmp_path / "pj"),
+    ).to_pandas()
+    assert len(got) == n  # every probe row joins exactly once
+    assert calls, "skewed partition was not detected"
+    assert all(nstripes > 1 for _, nstripes in calls)
+    assert len({p for p, _ in calls}) <= 2  # only the hot partition(s) split

@@ -203,6 +203,39 @@ def main():
     }
     print(json.dumps(out), flush=True)
 
+    # --- full curate_corpus composition (r4: storage-checkpointed) --------
+    # quality -> survivor groupby over (text_hash, doc_id) ONLY -> decontam;
+    # the kept corpus text lives in the parquet checkpoint, never in the
+    # object store (round-3 VERDICT finding #3)
+    from wse_ray.pipelines.curation import curate_corpus
+
+    def with_source(t: pa.Table) -> pa.Table:
+        ids2 = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "source", pa.array(np.char.mod("s%d", ids2 % 10))
+        )
+
+    full = docs_ds().map_batches(with_source, batch_format="pyarrow")
+    bench2 = docs_ds().map_batches(
+        lambda t: t.filter(
+            pa.array(t["doc_id"].to_numpy(zero_copy_only=False) % 1000 == 0)
+        ),
+        batch_format="pyarrow",
+    )
+    scratch = f"/dev/shm/wse_stress_curate_{DOCS}"
+    shutil.rmtree(scratch, ignore_errors=True)
+    t0 = time.perf_counter()
+    curated = curate_corpus(full, bench2, min_tokens=20, max_dup3=0.9,
+                            scratch_dir=scratch)
+    n = curated.count()
+    sec = time.perf_counter() - t0
+    out["curate_corpus"] = {
+        "sec": round(sec, 1), "docs_per_sec": round(DOCS / sec), "kept": n,
+        "rss_gb_peak": rss_gb(),
+    }
+    shutil.rmtree(scratch, ignore_errors=True)
+    print(json.dumps(out), flush=True)
+
     # --- kmeans on 500k vectors ------------------------------------------
     from wse_ray.functions.clustering import kmeans_assign, kmeans_fit
 

@@ -64,7 +64,7 @@ def rss_gb() -> float:
     return round(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6, 2)
 
 
-def run_join(fact_dir, dim_dir, hot_keys):
+def run_join(fact_dir, dim_dir, hot_keys, auto_split=True):
     import pyarrow.compute as pc
     import ray.data
     from ray.data.aggregate import Count, Sum
@@ -80,6 +80,7 @@ def run_join(fact_dir, dim_dir, hot_keys):
     joined = partitioned_join(
         fact, dim, on="k", right_on="dk", how="inner", num_parts=64,
         scratch_dir=scratch, hot_keys=hot_keys, salt=16,
+        auto_split=auto_split,
     )
 
     def prep(t: pa.Table) -> pa.Table:
@@ -130,10 +131,17 @@ def main():
 
     out = {"fact_rows": FACT_ROWS, "dim_rows": DIM_ROWS,
            "hot_frac": HOT_FRAC, "rss_gb_before": rss_gb()}
-    out["unsalted"] = run_join(fact_dir, dim_dir, hot_keys=None)
+    out["no_skew_handling"] = run_join(
+        fact_dir, dim_dir, hot_keys=None, auto_split=False
+    )
+    print(json.dumps(out), flush=True)
+    # the default path: skew detected from exchange file sizes, hot
+    # partition striped at join time — no caller knob
+    out["auto_split"] = run_join(fact_dir, dim_dir, hot_keys=None)
+    assert out["auto_split"]["joined_rows"] == out["no_skew_handling"]["joined_rows"]
     print(json.dumps(out), flush=True)
     out["salted_hot_key"] = run_join(fact_dir, dim_dir, hot_keys=[HOT_KEY])
-    assert out["salted_hot_key"]["joined_rows"] == out["unsalted"]["joined_rows"]
+    assert out["salted_hot_key"]["joined_rows"] == out["no_skew_handling"]["joined_rows"]
     print(json.dumps(out), flush=True)
     ray.shutdown()
 

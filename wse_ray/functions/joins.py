@@ -160,6 +160,49 @@ def _read_part(root: str, part: int, schema: pa.Schema) -> pa.Table:
     return pq.read_table(d, schema=schema)
 
 
+def _partition_rows(root: str, num_parts: int) -> np.ndarray:
+    """ROWS per exchange partition from the parquet footers — free skew
+    telemetry (the analog of the index build detecting heavy terms from
+    tokenize partials, build.py:127-169).  Rows, not file bytes: a hot
+    key's near-constant key column compresses so well under zstd that a
+    7x row skew can hide inside a <4x byte ratio (measured in
+    tools/stress_join.py), while join probe cost scales with rows."""
+    rows = np.zeros(num_parts, dtype=np.int64)
+    for i in range(num_parts):
+        d = os.path.join(root, f"jpart={i}")
+        if os.path.isdir(d):
+            rows[i] = sum(
+                pq.ParquetFile(os.path.join(d, e.name)).metadata.num_rows
+                for e in os.scandir(d)
+                if e.name.endswith(".parquet")
+            )
+    return rows
+
+
+def _stripe_units(root: str, part: int, n_stripes: int) -> list[list]:
+    """Greedy size-balanced (file, row_group) stripes of one partition dir.
+
+    Striping the PROBE side at join time replaces key salting for detected
+    skew: any disjoint cover of the probe rows joined against the FULL
+    build partition unions to the exact join result (each probe row is
+    joined exactly once), with no second exchange and no hot-key
+    identification — it balances whatever caused the bytes, hot key or
+    otherwise."""
+    units = []
+    for f in sorted(_glob.glob(os.path.join(root, f"jpart={part}", "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            units.append((f, rg, md.row_group(rg).total_byte_size))
+    units.sort(key=lambda u: -u[2])
+    loads = [0] * n_stripes
+    stripes: list[list] = [[] for _ in range(n_stripes)]
+    for f, rg, b in units:
+        i = loads.index(min(loads))
+        stripes[i].append([f, rg])
+        loads[i] += b
+    return [s for s in stripes if s]
+
+
 def _side_schema(root: str, ds) -> pa.Schema:
     """Schema of a written side: from any fragment if one exists (cheap
     metadata read), else from the Dataset's own schema (fully-empty side)."""
@@ -191,6 +234,9 @@ def partitioned_join(
     right_suffix: str = "_r",
     hot_keys=None,
     salt: int = 8,
+    auto_split: bool = True,
+    skew_factor: float = 4.0,
+    max_split: int = 16,
 ):
     """Join two Datasets on equality of key column(s) without broadcasting
     either side.  Returns a streaming ``ray.data.Dataset`` of joined rows.
@@ -199,12 +245,24 @@ def partitioned_join(
     the dedup engines: each side's exchange carries a ``_SUCCESS`` marker
     and is skipped when complete; the caller owns input identity.
 
+    **Skew handling is automatic** (``auto_split``, default on, how in
+    inner/left/semi/anti): after the exchange, any LEFT partition whose
+    footer row count exceeds ``skew_factor`` x the median partition gets its
+    join task split into up to ``max_split`` size-balanced row-group
+    stripes, each joined against the full right partition — detected from
+    the exchange's own file sizes (free metadata, the analog of the index
+    build detecting heavy terms from partials), needing no second
+    exchange, no hot-key identification, and no caller knob.  Output is
+    stripe-invariant: each left row joins exactly once.  Right/full outer
+    joins skip the valve (an unmatched right row would surface once per
+    stripe); put the skewed side on the left, or pre-aggregate.
+
     ``hot_keys`` (optional, single-column keys, how in inner/left/semi/
     anti): known pathologically-hot key values to salt over ``salt``
-    partitions — probe rows scatter, build rows replicate (see
-    ``_AssignJoinPartSalted``).  Detect candidates with a cheap
-    pre-aggregation (per-batch value_counts -> small groupby) when the
-    skew profile isn't known a priori.
+    partitions at EXCHANGE time — probe rows scatter, build rows
+    replicate (see ``_AssignJoinPartSalted``).  Auto-split usually makes
+    this unnecessary; it remains for when the skewed partition's exchange
+    write itself is the bottleneck.
     """
     import ray
     import ray.data
@@ -252,9 +310,40 @@ def partitioned_join(
         rschema = _side_schema(rdir, right)
         arrow_how = _HOW_MAP[how]
 
+        splits: dict[int, int] = {}
+        if auto_split and how in ("inner", "left", "semi", "anti"):
+            rows = _partition_rows(ldir, num_parts)
+            nz = rows[rows > 0]
+            med = float(np.median(nz)) if len(nz) else 0.0
+            if med > 0:
+                for i in range(num_parts):
+                    if rows[i] > skew_factor * med:
+                        splits[i] = min(max_split, int(np.ceil(rows[i] / med)))
+
+        import json as _json
+
+        specs = []
+        for i in range(num_parts):
+            n = splits.get(i, 1)
+            if n <= 1:
+                specs.append({"part": i, "units": ""})
+            else:
+                for stripe in _stripe_units(ldir, i, n):
+                    specs.append({"part": i, "units": _json.dumps(stripe)})
+
         def join_part(batch: pa.Table) -> pa.Table:
             part = int(batch["part"][0].as_py())
-            lt = _read_part(ldir, part, lschema)
+            units = batch["units"][0].as_py()
+            if units:  # skew stripe: a disjoint row-group subset of left
+                import json as _json2
+
+                pieces = [
+                    pq.ParquetFile(f).read_row_group(rg)
+                    for f, rg in _json2.loads(units)
+                ]
+                lt = pa.concat_tables(pieces).cast(lschema)
+            else:
+                lt = _read_part(ldir, part, lschema)
             rt = _read_part(rdir, part, rschema)
             out = lt.join(
                 rt,
@@ -267,9 +356,9 @@ def partitioned_join(
             # else — join output schema is constant across partitions
             return out
 
-        joined = ray.data.from_items(
-            [{"part": i} for i in range(num_parts)]
-        ).map_batches(join_part, batch_size=1, batch_format="pyarrow")
+        joined = ray.data.from_items(specs).map_batches(
+            join_part, batch_size=1, batch_format="pyarrow"
+        )
         if owns:
             # caller gave no resume root: materialization boundary so the
             # temp exchange can be deleted before returning

