@@ -54,7 +54,12 @@ BENCH_OUT = os.environ.get(
 )
 
 
-def run_build(corpus_dir: str, out_dir: str, num_partitions: int | None = None) -> dict:
+def run_build(
+    corpus_dir: str,
+    out_dir: str,
+    num_partitions: int | None = None,
+    from_html: bool = False,
+) -> dict:
     from wse_ray.config import BuildConfig
     from wse_ray.index.build import build_index
 
@@ -74,7 +79,10 @@ def run_build(corpus_dir: str, out_dir: str, num_partitions: int | None = None) 
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.perf_counter()
         manifest = build_index(
-            corpus_dir, out_dir, BuildConfig(num_partitions=num_partitions)
+            corpus_dir,
+            out_dir,
+            BuildConfig(num_partitions=num_partitions),
+            from_html=from_html,
         )
         sec = time.perf_counter() - t0
         secs.append(round(sec, 3))
@@ -236,6 +244,16 @@ def main() -> None:
     qbench = run_queries_bench(f"{BENCH_OUT}_index_{NUM_CPUS}")
     timings["bm25_queries"] = qbench["sec"]
 
+    html_build = None
+    if os.environ.get("WSE_BENCH_BUILD_ONLY") != "1":
+        # from-html build: same corpus through the extraction stage — the
+        # ratio vs the trusted-text build prices the O1 html path
+        html_build = run_build(
+            corpus, f"{BENCH_OUT}_index_html_{NUM_CPUS}", from_html=True
+        )
+        timings["index_build_from_html"] = html_build["sec"]
+        timings["from_html_ratio"] = round(html_build["sec"] / build["sec"], 3)
+
     sharded = None
     if os.environ.get("WSE_BENCH_BUILD_ONLY") != "1":
         sharded = run_sharded_bench(corpus, f"{BENCH_OUT}_index_doc_{NUM_CPUS}")
@@ -268,12 +286,34 @@ def main() -> None:
         build_index(
             life_files[:8], life_idx, BuildConfig(num_partitions=8, partition_by="doc")
         )
+        t_base = time.perf_counter()
         extend_index(life_idx, life_files[8:])
+        t_ext = time.perf_counter() - t_base
         delete_docs(life_idx, range(0, 10_000, 10))
         eng = SearchEngine(life_idx)
         for q in ("data table", "zzz_absent", "join"):
             eng.search(q, "disjunctive", 10)
         timings["index_lifecycle"] = round(time.perf_counter() - t0, 3)
+
+        # extension ratio: extend(20% delta) vs a from-scratch rebuild of
+        # base+delta, both layouts — O(delta) means ratio ~ delta fraction
+        # (authoritative large-scale numbers: tools/stress_extend.py in
+        # BASELINE.md; this tracks the per-round trend cheaply)
+        full_idx = f"{BENCH_OUT}_life_full_{NUM_CPUS}"
+        shutil.rmtree(full_idx, ignore_errors=True)
+        t0 = time.perf_counter()
+        build_index(
+            life_files, full_idx, BuildConfig(num_partitions=10, partition_by="doc")
+        )
+        t_full = time.perf_counter() - t0
+        timings["extend_ratio_doc"] = round(t_ext / t_full, 3)
+        term_idx = f"{BENCH_OUT}_life_term_{NUM_CPUS}"
+        shutil.rmtree(term_idx, ignore_errors=True)
+        cfg_t = BuildConfig(num_partitions=8)
+        build_index(life_files[:8], term_idx, cfg_t)
+        t0 = time.perf_counter()
+        extend_index(term_idx, life_files[8:])
+        timings["extend_ratio_term"] = round((time.perf_counter() - t0) / t_full, 3)
 
         from wse_ray.pipelines import engine_queries as eq
         from wse_ray.pipelines import relational as rel

@@ -92,9 +92,10 @@ def test_extend_doc_layout_sharded(ray_session, split_corpus, tmp_path_factory):
 def test_extend_term_layout_matches_full_rebuild(
     ray_session, split_corpus, tmp_path_factory
 ):
-    """Term layout: delta exchange + O(delta) staged re-encode — ONLY the
-    partitions that received delta rows are re-encoded (swapped in with no
-    serving gap); untouched partitions keep their encode byte-for-byte and
+    """Term layout: O(delta) append-only generations — the delta exchanges
+    into BRAND-NEW partitions (same term-hash routing, offset ids), base
+    partitions stay byte-identical (never read, never re-encoded), a term's
+    per-generation segments are docID-disjoint and merge in the scorer, and
     stale_ubs gates pruning until refresh_bounds re-bakes the bounds."""
     import glob as _glob
 
@@ -116,25 +117,20 @@ def test_extend_term_layout_matches_full_rebuild(
         return out
 
     before = _part_sig(inc)
-    extend_index(inc, b_files)
+    manifest = extend_index(inc, b_files)
     after = _part_sig(inc)
 
-    delta_parts = {
-        f"part={int(os.path.basename(os.path.dirname(f)).split('=')[1]):05d}"
-        for f in _glob.glob(os.path.join(inc, "postings", "part=*", "delta001-*.parquet"))
-    }
-    assert delta_parts, "delta must land somewhere"
-    untouched = set(before) - delta_parts
-    assert untouched, "O(delta) evidence needs at least one untouched partition"
-    for p in untouched:  # byte-identical including mtime: never re-encoded
+    new_parts = {f"part={p:05d}" for p in manifest["extensions"][0]["parts"]}
+    assert new_parts, "term extension must add generation partitions"
+    assert set(before).isdisjoint(new_parts)
+    for p in before:  # base partitions byte-identical incl. mtime
         assert after[p] == before[p], p
-    for p in delta_parts:
-        assert after[p] != before.get(p), p
+    assert set(after) == set(before) | new_parts
 
     e_full = SearchEngine(full)
     e_inc = SearchEngine(inc)
     assert e_inc.stats == e_full.stats
-    assert e_inc._stale_ubs  # untouched partitions carry old-stats bounds
+    assert e_inc._stale_ubs  # base partitions carry old-stats bounds
     _assert_identical(
         e_inc, e_full, modes=("disjunctive", "conjunctive", "disjunctive_pruned")
     )
@@ -142,6 +138,28 @@ def test_extend_term_layout_matches_full_rebuild(
     e_ref = SearchEngine(inc)
     assert not e_ref._stale_ubs
     _assert_identical(e_ref, e_full, modes=("disjunctive_pruned",))
+
+
+def test_extend_term_layout_second_generation(ray_session, tmp_path_factory):
+    """Two term-layout generations: partition ids keep advancing, a term's
+    three segments (base + 2 gens) merge exactly."""
+    d = str(tmp_path_factory.mktemp("term3_corpus"))
+    paths = write_corpus_parquet(d, 300, n_files=6)
+    full = str(tmp_path_factory.mktemp("term3_full"))
+    inc = str(tmp_path_factory.mktemp("term3_inc"))
+    cfg = BuildConfig(num_partitions=3, heavy_df_threshold=50, heavy_subparts=2)
+    build_index(d, full, cfg)
+    build_index(paths[:2], inc, cfg)
+    extend_index(inc, paths[2:4])
+    manifest = extend_index(inc, paths[4:])
+    g1, g2 = manifest["extensions"]
+    assert g1["parts"] and g2["parts"]
+    assert min(g2["parts"]) > max(g1["parts"])
+
+    e_full = SearchEngine(full)
+    e_inc = SearchEngine(inc)
+    assert e_inc.stats == e_full.stats
+    _assert_identical(e_inc, e_full)
 
 
 def test_extend_second_generation(ray_session, tmp_path_factory):

@@ -27,20 +27,24 @@ Two strategies, chosen by the index's ``partition_by`` layout:
   ``refresh_bounds`` re-encodes (results identical either way — pruning is
   an optimization, never a semantic).
 
-* ``term`` (delta exchange + O(delta) re-encode): delta postings rows
-  are routed with the SAME assigner params as the base build (hash(term)%P;
-  heavy terms keep the base heavy list, their >=N_old docIDs clip into the
-  last docID sub-segment — routing is correctness-neutral, segments stay
-  docID-disjoint per term) and appended as extra files into the existing
-  ``postings/part=K`` dirs; phase 3 then re-encodes ONLY the partitions
-  that received delta rows — each into a staging dir first and swapped
-  into ``parts/`` with two renames, so a concurrently-serving engine never
-  observes a missing partition.  Untouched partitions keep their baked
-  (old-stats) chunk bounds, so ``stale_ubs`` stays set exactly as in the
-  doc layout (pruned mode silently serves exhaustive — identical results)
-  until the opt-in ``refresh_bounds`` re-bakes every bound at the new
-  stats.  Cost: re-encode proportional to the delta's term spread — never
-  re-tokenize, never re-exchange the base, never all partitions.
+* ``term`` (append-only generation partitions, O(delta) work): delta
+  postings rows are routed with the SAME assigner params as the base build
+  (hash(term)%P; heavy terms keep the base heavy list, their >=N_old
+  docIDs clip into the last docID sub-segment — routing is correctness-
+  neutral) but into BRAND-NEW partition ids offset past every existing
+  one, and phase 3 encodes only those — base partitions are never read,
+  never rewritten, never unavailable.  A term's postings now live in one
+  segment per generation; the segments are docID-disjoint by construction
+  (delta docIDs start at N_old), and the scorer's segment machinery
+  already merges multi-segment terms in first_docid order (heavy terms
+  work exactly this way), with global df = sum of segment dfs staying
+  exact.  Base partitions keep their old-stats chunk bounds, so
+  ``stale_ubs`` stays set exactly as in the doc layout (pruned mode
+  silently serves exhaustive — identical results) until the opt-in
+  ``refresh_bounds`` re-bakes every bound at the new stats.  Cost:
+  tokenize + exchange + encode of the DELTA only — the per-generation
+  price is one extra (seek+read) per queried term per generation;
+  ``compact_index`` consolidates generations when fragmentation matters.
 
 Both strategies serve BIT-IDENTICAL search results to a from-scratch
 rebuild of the concatenated corpus (tests/test_extend.py pins this for
@@ -522,65 +526,92 @@ def extend_index(
         manifest["stale_ubs"] = True
         record_parts = new_parts
     else:
-        # ---- term layout: delta exchange + full re-encode -----------------
+        # ---- term layout: delta -> new generation partitions ---------------
         heavy_terms = pq.read_table(os.path.join(index_dir, "heavy.parquet"))[
             "term"
         ].to_pylist()
+        # next free partition id past base + every prior generation; a
+        # resume MUST reuse it (layout stamp, same contract as doc layout)
+        layout_stamp = os.path.join(gen_dir, "layout.json")
+        if os.path.exists(layout_stamp):
+            part0 = _load_json(layout_stamp)["part0"]
+        else:
+            existing = [
+                int(os.path.basename(d).split("=")[1])
+                for d in glob.glob(os.path.join(postings_dir, "part=*"))
+            ]
+            part0 = (max(existing) + 1) if existing else 0
+            _dump_json({"part0": part0}, layout_stamp)
         staging = os.path.join(gen_dir, "postings")
         if not _flag(p2_marker):
             t0 = time.perf_counter()
             shutil.rmtree(staging, ignore_errors=True)
-            for p in glob.glob(  # retry hygiene: this gen's appended files
-                os.path.join(postings_dir, "part=*", f"delta{gen:03d}-*.parquet")
-            ):
-                os.remove(p)
+            for d in glob.glob(os.path.join(postings_dir, "part=*")):
+                if int(os.path.basename(d).split("=")[1]) >= part0:
+                    shutil.rmtree(d, ignore_errors=True)  # retry hygiene
+            for d in glob.glob(os.path.join(parts_root, "part=*")):
+                if int(os.path.basename(d).split("=")[1]) >= part0:
+                    shutil.rmtree(d, ignore_errors=True)
             # base assigner params (incl. the base N for heavy docID-range
             # splitting): delta docIDs >= N_old clip into the last heavy
-            # sub-segment — routing-neutral, keeps segments docID-disjoint
+            # sub-segment — routing-neutral, segments stay docID-disjoint;
+            # the generation offset keeps a stable term->partition-set map
+            # (term t lives in parts {g_part0 + assign(t)} per generation)
             assigner = AssignPart(
                 cfg.num_partitions, cfg.heavy_subparts, heavy_terms, base_stats["N"]
             )
-            _delta_posts().map_batches(assigner, batch_format="pyarrow").write_parquet(
-                staging, partition_cols=["part"], compression="zstd"
-            )
+
+            def offset_part(t: pa.Table, _a=assigner, _p0=part0) -> pa.Table:
+                t = _a(t)
+                i = t.schema.get_field_index("part")
+                return t.set_column(
+                    i, "part", pc.add(t["part"], pa.scalar(_p0, pa.int64()))
+                )
+
+            _delta_posts().map_batches(
+                offset_part, batch_format="pyarrow"
+            ).write_parquet(staging, partition_cols=["part"], compression="zstd")
+            if cfg.compact_min_fragments:
+                cspecs = [
+                    {"src": d}
+                    for d in sorted(glob.glob(os.path.join(staging, "part=*")))
+                ]
+                ray.data.from_items(cspecs).map_batches(
+                    partial(_compact_part_task, min_fragments=cfg.compact_min_fragments),
+                    batch_size=1,
+                    batch_format="pyarrow",
+                ).to_pandas()
             for d in sorted(glob.glob(os.path.join(staging, "part=*"))):
-                dst = os.path.join(postings_dir, os.path.basename(d))
-                os.makedirs(dst, exist_ok=True)
-                for i, f in enumerate(sorted(glob.glob(os.path.join(d, "*.parquet")))):
-                    os.rename(f, os.path.join(dst, f"delta{gen:03d}-{i:05d}.parquet"))
+                os.rename(d, os.path.join(postings_dir, os.path.basename(d)))
             _touch(p2_marker)
             timings["postings"] = time.perf_counter() - t0
+        new_parts = sorted(
+            int(os.path.basename(d).split("=")[1])
+            for d in glob.glob(os.path.join(postings_dir, "part=*"))
+            if int(os.path.basename(d).split("=")[1]) >= part0
+        )
         if not _flag(p3_marker):
             t0 = time.perf_counter()
-            # O(delta): only partitions that actually received delta rows
-            # need a re-encode (their term segments must absorb the new
-            # docIDs); every other partition's postings are unchanged and
-            # its encode stays valid — only its baked chunk bounds are old,
-            # which the stale_ubs gate (set in phase 1) already covers.
-            # Staged encode + rename swap: no serving gap (helper docstring).
-            delta_dirs = sorted(
-                {
-                    os.path.dirname(f)
-                    for f in glob.glob(
-                        os.path.join(
-                            postings_dir, "part=*", f"delta{gen:03d}-*.parquet"
-                        )
-                    )
-                }
-            )
+            # O(delta): encode ONLY the generation's partitions — brand-new
+            # dirs, so the standard atomic per-part encode suffices (no
+            # serving swap needed; base parts are never touched)
             specs = [
-                {"src": d, "part": int(os.path.basename(d).split("=")[1])}
-                for d in delta_dirs
+                {"src": os.path.join(postings_dir, f"part={p}"), "part": p}
+                for p in new_parts
             ]
-            _encode_parts_staged(
-                index_dir, specs, new_stats, cfg, os.path.join(gen_dir, "enc")
-            )
+            if specs:
+                ray.data.from_items(specs).map_batches(
+                    partial(_encode_part_task, out_dir=index_dir, stats=new_stats),
+                    batch_size=1,
+                    batch_format="pyarrow",
+                    **_enc_kwargs(cfg),
+                ).to_pandas()
             _touch(p3_marker)
             timings["parts"] = time.perf_counter() - t0
-        # stale_ubs stays SET (phase 1): untouched partitions still carry
-        # bounds baked at the old stats; refresh_bounds is the opt-in
-        # re-bake that restores pruned mode (results identical either way)
-        record_parts = []
+        # stale_ubs stays SET (phase 1): base partitions still carry bounds
+        # baked at the old stats; refresh_bounds is the opt-in re-bake that
+        # restores pruned mode (results identical either way)
+        record_parts = new_parts
 
     record = {
         "gen": gen,

@@ -1030,9 +1030,13 @@ def q_dedup_embedding(sf_dir: str) -> pd.DataFrame:
 
     Exact blocked pair stage: groupby(label) shuffles only the vectors and
     each group's all-pairs matmul is bounded by the block size — no full-
-    matrix broadcast, nothing corpus-sized on the driver (the generic
-    no-blocking-key variant is functions/dedup.embedding_dup_pairs, which
-    derives its blocks from IVF cells instead)."""
+    matrix broadcast, nothing corpus-sized on the driver.  NOTE this gated
+    variant uses Ray Data's in-memory groupby + pandas map_groups — the
+    one in-memory all-to-all left in the repo, fine at gate scale; the
+    100 TB path is functions/dedup.embedding_dup_pairs (the SCALE variant,
+    pytest-pinned and stress-run at 1M vectors in BASELINE.md), which
+    derives its blocks from IVF cells hive-partitioned on storage
+    instead."""
 
     def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
         from ..functions.ann import cosine_matrix_duckdb
