@@ -485,22 +485,29 @@ def build_index(
         shutil.rmtree(runs_dir, ignore_errors=True)
         os.makedirs(runs_dir, exist_ok=True)
         tok = TokenizeWriteRuns(runs_dir, cfg.tokenizer_mode, threshold, approx_docs)
-        if callable(corpus) or from_html:
+        if callable(corpus):
             ds = make_ds().map_batches(
                 tok, batch_format="pyarrow", batch_size=cfg.tokenize_batch_size
             )
         else:
-            # fused fast path: read + tokenize + side-write inside ONE task
-            # per row group — the text bytes never enter the object store
+            # fused fast path: read + (extract +) tokenize + side-write
+            # inside ONE task per row group — the text/html bytes never
+            # enter the object store.  from_html runs the extraction stage
+            # in-task (the object-store detour cost a measured 1.4x on the
+            # 50k bench before this; extraction itself is ~0.2 s/50k docs
+            # single-threaded — see stages/extract.py)
             from ..sources.corpus import list_corpus_files, rowgroup_specs
 
             specs = rowgroup_specs(list_corpus_files(corpus))
+            cols = ["url", "html"] if from_html else ["url", "text"]
 
             def fused(spec: pa.Table, _tok=tok) -> pa.Table:
                 path = spec["path"][0].as_py()
                 rg = spec["row_group"][0].as_py()
                 base = spec["base"][0].as_py()
-                t = pq.ParquetFile(path).read_row_group(rg, columns=["url", "text"])
+                t = pq.ParquetFile(path).read_row_group(rg, columns=cols)
+                if from_html:
+                    t = ExtractText()(t)
                 docids = pa.array(
                     np.arange(base, base + t.num_rows, dtype=np.uint64), pa.uint64()
                 )
