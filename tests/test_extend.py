@@ -1,6 +1,7 @@
 """Incremental index extension (index/extend.py) must serve BIT-IDENTICAL
 search results to a from-scratch rebuild of the concatenated corpus, for
 both partition layouts, every query mode, single-node and sharded."""
+import glob
 import json
 import os
 
@@ -527,3 +528,90 @@ def test_callable_fingerprint_distinguishes_defaults(ray_session):
     assert _corpus_fingerprint(factory(1)) != _corpus_fingerprint(factory(2))
     assert _corpus_fingerprint(factory_kw(1)) != _corpus_fingerprint(factory_kw(2))
     assert _corpus_fingerprint(factory(1)) == _corpus_fingerprint(factory(1))
+
+
+def test_callable_delta_rejects_duplicate_docids(ray_session, tmp_path_factory):
+    """Count + endpoints alone would accept [100,101,101,103]; the per-file
+    uniqueness / disjoint-range check must reject duplicates."""
+    import pyarrow as pa
+    import ray.data
+
+    from wse_ray.fixtures import make_corpus
+    from wse_ray.index.extend import extend_index
+
+    d = str(tmp_path_factory.mktemp("dup_corpus"))
+    paths = write_corpus_parquet(d, 104, n_files=2)
+    idx = str(tmp_path_factory.mktemp("dup_idx"))
+    build_index(paths[:1], idx, BuildConfig(num_partitions=2, partition_by="doc"))
+    n_before = SearchEngine(idx).N
+    t = make_corpus(104)
+
+    def corpus():
+        ids = [n_before, n_before + 1, n_before + 1, n_before + 3]
+        tt = t.slice(52, 4).append_column("docID", pa.array(ids, pa.uint64()))
+        return ray.data.from_arrow(tt)
+
+    with pytest.raises(ValueError, match="duplicate|overlap"):
+        extend_index(idx, corpus)
+
+
+def test_orphaned_generation_is_swept(ray_session, tmp_path_factory):
+    """An abandoned generation's exchanged postings (gen_dir removed per
+    the mid-flight error advice) must not survive into the next
+    generation's part ids or into refresh_bounds' encode set."""
+    import shutil as _sh
+
+    from wse_ray.index.extend import _live_max_part, refresh_bounds
+    import json as _json
+
+    d = str(tmp_path_factory.mktemp("orph_corpus"))
+    paths = write_corpus_parquet(d, 300, n_files=6)
+    idx = str(tmp_path_factory.mktemp("orph_idx"))
+    cfg = BuildConfig(num_partitions=3, heavy_df_threshold=50, heavy_subparts=2)
+    build_index(paths[:2], idx, cfg)
+
+    with open(os.path.join(idx, "manifest.json")) as f:
+        manifest = _json.load(f)
+    live_max = _live_max_part(manifest, cfg)
+
+    # fake an abandoned generation: orphan postings + parts dirs above the
+    # live ceiling, gen_dir already removed (id far above the next
+    # generation's legitimate range so sweep vs re-create is unambiguous)
+    orphan = live_max + 500
+    os.makedirs(os.path.join(idx, "postings", f"part={orphan}"))
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    _pq.write_table(
+        pa.table({"term": pa.array([b"zzz"], pa.large_binary()),
+                  "docID": pa.array([0], pa.uint64()),
+                  "tf": pa.array([1], pa.uint64()),
+                  "dl": pa.array([10], pa.uint64())}),
+        os.path.join(idx, "postings", f"part={orphan}", "orphan.parquet"),
+    )
+
+    manifest2 = extend_index(idx, paths[2:4])
+    # the new generation's ids must come from the MANIFEST ceiling, not the
+    # filesystem max (which the orphan inflated)
+    assert min(manifest2["extensions"][0]["parts"]) == live_max + 1
+    # the orphan dir was swept at fresh-generation start
+    assert not os.path.isdir(os.path.join(idx, "postings", f"part={orphan}"))
+
+    # refresh_bounds only touches manifest-live partitions
+    refresh_bounds(idx)
+    parts = {
+        int(os.path.basename(p).split("=")[1])
+        for p in glob.glob(os.path.join(idx, "parts", "part=*"))
+    }
+    assert orphan not in parts
+
+    full = str(tmp_path_factory.mktemp("orph_full"))
+    build_index(paths[:4], full, cfg)
+    e_inc, e_full = SearchEngine(idx), SearchEngine(full)
+    assert e_inc.stats == e_full.stats
+    for q in make_queries()[:8]:
+        for mode in ("disjunctive", "conjunctive", "disjunctive_pruned"):
+            assert e_inc.search(q["query"], mode, q["k"]) == e_full.search(
+                q["query"], mode, q["k"]
+            )
+    _sh.rmtree(idx, ignore_errors=True)

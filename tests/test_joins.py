@@ -362,9 +362,9 @@ def test_auto_split_detects_and_stripes(ray_session, tmp_path, monkeypatch):
     calls = []
     orig = J._stripe_units
 
-    def spy(root, part, n):
-        out = orig(root, part, n)
-        calls.append((part, len(out)))
+    def spy(units, n):
+        out = orig(units, n)
+        calls.append((units[0][0], len(out)))  # keyed by a fragment path
         return out
 
     monkeypatch.setattr(J, "_stripe_units", spy)

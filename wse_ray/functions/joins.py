@@ -160,46 +160,50 @@ def _read_part(root: str, part: int, schema: pa.Schema) -> pa.Table:
     return pq.read_table(d, schema=schema)
 
 
-def _partition_rows(root: str, num_parts: int) -> np.ndarray:
-    """ROWS per exchange partition from the parquet footers — free skew
-    telemetry (the analog of the index build detecting heavy terms from
-    tokenize partials, build.py:127-169).  Rows, not file bytes: a hot
-    key's near-constant key column compresses so well under zstd that a
-    7x row skew can hide inside a <4x byte ratio (measured in
-    tools/stress_join.py), while join probe cost scales with rows."""
+def _partition_meta(root: str, num_parts: int) -> tuple[np.ndarray, dict]:
+    """(rows-per-partition, {part: [(file, row_group, rows), ...]}) from ONE
+    pass over the exchange's parquet footers — free skew telemetry (the
+    analog of the index build detecting heavy terms from tokenize partials,
+    build.py:127-169).  Rows, not file bytes: a hot key's near-constant key
+    column compresses so well under zstd that a 7x row skew can hide inside
+    a <4x byte ratio (measured in tools/stress_join.py), while join probe
+    cost scales with rows.  One pass: the striper reuses the same footers,
+    so a high-latency filesystem is not hit twice per fragment."""
     rows = np.zeros(num_parts, dtype=np.int64)
+    units: dict[int, list] = {}
     for i in range(num_parts):
         d = os.path.join(root, f"jpart={i}")
-        if os.path.isdir(d):
-            rows[i] = sum(
-                pq.ParquetFile(os.path.join(d, e.name)).metadata.num_rows
-                for e in os.scandir(d)
-                if e.name.endswith(".parquet")
-            )
-    return rows
+        if not os.path.isdir(d):
+            continue
+        us = []
+        for e in sorted(os.scandir(d), key=lambda e: e.name):
+            if not e.name.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(e.path).metadata
+            rows[i] += md.num_rows
+            for rg in range(md.num_row_groups):
+                us.append((e.path, rg, md.row_group(rg).num_rows))
+        units[i] = us
+    return rows, units
 
 
-def _stripe_units(root: str, part: int, n_stripes: int) -> list[list]:
-    """Greedy size-balanced (file, row_group) stripes of one partition dir.
+def _stripe_units(units: list, n_stripes: int) -> list[list]:
+    """Greedy row-balanced (file, row_group) stripes of one partition's
+    fragment units.
 
     Striping the PROBE side at join time replaces key salting for detected
     skew: any disjoint cover of the probe rows joined against the FULL
     build partition unions to the exact join result (each probe row is
     joined exactly once), with no second exchange and no hot-key
-    identification — it balances whatever caused the bytes, hot key or
+    identification — it balances whatever caused the rows, hot key or
     otherwise."""
-    units = []
-    for f in sorted(_glob.glob(os.path.join(root, f"jpart={part}", "*.parquet"))):
-        md = pq.ParquetFile(f).metadata
-        for rg in range(md.num_row_groups):
-            units.append((f, rg, md.row_group(rg).total_byte_size))
-    units.sort(key=lambda u: -u[2])
+    units = sorted(units, key=lambda u: -u[2])
     loads = [0] * n_stripes
     stripes: list[list] = [[] for _ in range(n_stripes)]
-    for f, rg, b in units:
+    for f, rg, n in units:
         i = loads.index(min(loads))
         stripes[i].append([f, rg])
-        loads[i] += b
+        loads[i] += n
     return [s for s in stripes if s]
 
 
@@ -311,8 +315,9 @@ def partitioned_join(
         arrow_how = _HOW_MAP[how]
 
         splits: dict[int, int] = {}
+        part_units: dict[int, list] = {}
         if auto_split and how in ("inner", "left", "semi", "anti"):
-            rows = _partition_rows(ldir, num_parts)
+            rows, part_units = _partition_meta(ldir, num_parts)
             nz = rows[rows > 0]
             med = float(np.median(nz)) if len(nz) else 0.0
             if med > 0:
@@ -328,7 +333,7 @@ def partitioned_join(
             if n <= 1:
                 specs.append({"part": i, "units": ""})
             else:
-                for stripe in _stripe_units(ldir, i, n):
+                for stripe in _stripe_units(part_units[i], n):
                     specs.append({"part": i, "units": _json.dumps(stripe)})
 
         def join_part(batch: pa.Table) -> pa.Table:

@@ -98,17 +98,49 @@ def _enc_kwargs(cfg: BuildConfig) -> dict:
     return {"concurrency": cfg.encode_concurrency} if cfg.encode_concurrency else {}
 
 
+def _exchange_paths(a: str, b: str) -> bool:
+    """Atomically exchange two paths with renameat2(RENAME_EXCHANGE)
+    (Linux >= 3.15).  Returns False when the syscall is unavailable or
+    unsupported by the filesystem so the caller can fall back."""
+    import ctypes
+
+    try:
+        libc = ctypes.CDLL(None, use_errno=True)
+        fn = libc.renameat2
+    except (OSError, AttributeError):
+        return False
+    AT_FDCWD = -100
+    RENAME_EXCHANGE = 2
+    r = fn(
+        ctypes.c_int(AT_FDCWD),
+        os.fsencode(a),
+        ctypes.c_int(AT_FDCWD),
+        os.fsencode(b),
+        ctypes.c_uint(RENAME_EXCHANGE),
+    )
+    if r == 0:
+        return True
+    err = ctypes.get_errno()
+    import errno
+
+    if err in (errno.EINVAL, errno.ENOSYS, errno.ENOTSUP):
+        return False  # kernel/fs doesn't support EXCHANGE
+    raise OSError(err, os.strerror(err), a)
+
+
 def _encode_parts_staged(
     index_dir: str, specs: list[dict], stats: dict, cfg: BuildConfig, staging_root: str
 ) -> None:
     """Re-encode partitions WITHOUT a serving gap: encode every spec into
     ``staging_root/parts/part=K`` (the normal atomic per-partition encode,
     resumable via its _SUCCESS marker), then swap each into the live
-    ``parts/`` with two renames.  A concurrently-serving SearchEngine never
-    observes a missing partition dir — at worst it holds open files of the
-    pre-swap encode, which remain valid on POSIX until closed.  ``swap-*``
-    markers in ``staging_root`` make the swap idempotent across crashes
-    (an already-swapped partition is not re-encoded on resume)."""
+    ``parts/`` — atomically via renameat2(RENAME_EXCHANGE) where the
+    kernel/fs supports it (this sandbox does), else two renames whose
+    window is two syscalls wide (documented residual: a SearchEngine
+    CONSTRUCTED inside that fallback window could miss the partition; an
+    engine holding open files is unaffected on POSIX).  ``swap-*`` markers
+    in ``staging_root`` make the swap idempotent across crashes (an
+    already-swapped partition is not re-encoded on resume)."""
     import ray
     import ray.data
 
@@ -135,8 +167,13 @@ def _encode_parts_staged(
         trash = os.path.join(staging_root, f"old-{name}")
         shutil.rmtree(trash, ignore_errors=True)
         if os.path.isdir(dst):
-            os.rename(dst, trash)
-        os.rename(src, dst)
+            if _exchange_paths(src, dst):  # atomic: no missing-dir window
+                os.rename(src, trash)  # src now holds the OLD encode
+            else:
+                os.rename(dst, trash)
+                os.rename(src, dst)
+        else:
+            os.rename(src, dst)
         shutil.rmtree(trash, ignore_errors=True)
         _touch(os.path.join(staging_root, f"swap-{int(s['part']):05d}.done"))
 
@@ -223,6 +260,23 @@ def _fold_stats(base: dict, deltas: list[dict]) -> dict:
         "avgdl": int(total / n) if n else 0,
         "max_dl": max_dl,
     }
+
+
+def _live_max_part(manifest: dict, cfg: BuildConfig) -> int:
+    """Largest partition id the manifest accounts for: the base layout's
+    ceiling (term layout: P + n_heavy*S sub-partitions; doc layout: P) plus
+    every recorded extension's parts.  Partition dirs ABOVE this are
+    orphans of an abandoned generation — never part of the served index."""
+    if cfg.partition_by == "doc":
+        base_max = cfg.num_partitions - 1
+    else:
+        base_max = (
+            cfg.num_partitions
+            + int(manifest.get("heavy_terms", 0)) * cfg.heavy_subparts
+            - 1
+        )
+    ext_parts = [p for e in manifest.get("extensions", []) for p in e["parts"]]
+    return max([base_max, *ext_parts])
 
 
 def _delta_run_files(runs_dir: str, lo: int) -> list[str]:
@@ -312,6 +366,20 @@ def extend_index(
                 f"generation {gen} is mid-flight for a different corpus "
                 f"({stamped} != {fingerprint}); finish or remove {gen_dir}"
             )
+    if not os.path.exists(corpus_stamp):
+        # starting a FRESH generation: sweep orphan partition dirs left by
+        # an abandoned one (operator removed ext_genNNN per the error
+        # advice above, but its exchanged postings/encoded parts remained).
+        # Anything above the manifest-recorded ceiling is unreachable by
+        # the served index and must not survive into refresh_bounds.
+        live_max = _live_max_part(manifest, cfg)
+        for root in (
+            os.path.join(index_dir, "postings"),
+            os.path.join(index_dir, "parts"),
+        ):
+            for d in glob.glob(os.path.join(root, "part=*")):
+                if int(os.path.basename(d).split("=")[1]) > live_max:
+                    shutil.rmtree(d, ignore_errors=True)
     os.makedirs(gen_dir, exist_ok=True)
     _dump_json({"fingerprint": fingerprint}, corpus_stamp)
 
@@ -374,30 +442,43 @@ def extend_index(
             "max_dl": int(partials["max_dl"].max()) if len(partials) else 0,
         }
         if callable(corpus) and delta["n"]:
-            # a callable owns its docIDs: verify they exactly continue the
-            # index — count AND endpoints, so a gap-shifted range (docIDs
-            # starting at n_before+g) cannot slip through with a doc_ranges
-            # manifest entry that zero-pads phantom docIDs (per-batch
-            # floor violations were already rejected inside the map)
+            # a callable owns its docIDs: verify they EXACTLY continue the
+            # index.  One docID-column read per file (delta-sized IO, one
+            # file's ids held at a time): per-file uniqueness + pairwise-
+            # disjoint file ranges + total count + global endpoints together
+            # force the set to be exactly [n_before, n_before+m) — count +
+            # endpoints alone would accept a duplicate-plus-gap interior
+            # (e.g. [100, 101, 101, 103]), a gap-shifted range, or overlap
+            # between batches (per-batch floor violations were already
+            # rejected inside the map, before any file write)
             files = _delta_run_files(runs_dir, n_before)
             n_file_rows = 0
             lo = hi = None
+            ranges: list[tuple[int, int, str]] = []
             for p in files:
-                md = pq.ParquetFile(p).metadata
-                n_file_rows += md.num_rows
-                ci = [
-                    md.schema.column(i).name for i in range(md.num_columns)
-                ].index("docID")
-                for rg in range(md.num_row_groups):
-                    st = md.row_group(rg).column(ci).statistics
-                    if st is not None and st.has_min_max:
-                        rmin, rmax = int(st.min), int(st.max)
-                    else:  # stats missing: read the one column
-                        col = pq.read_table(p, columns=["docID"])["docID"]
-                        rmin = int(pc.min(col).as_py())
-                        rmax = int(pc.max(col).as_py())
-                    lo = rmin if lo is None else min(lo, rmin)
-                    hi = rmax if hi is None else max(hi, rmax)
+                ids = (
+                    pq.read_table(p, columns=["docID"])["docID"]
+                    .combine_chunks()
+                    .to_numpy(zero_copy_only=False)
+                )
+                n_file_rows += len(ids)
+                if len(np.unique(ids)) != len(ids):
+                    raise ValueError(
+                        f"callable delta corpus produced duplicate docIDs "
+                        f"(run file {os.path.basename(p)})"
+                    )
+                fmin, fmax = int(ids.min()), int(ids.max())
+                ranges.append((fmin, fmax, p))
+                lo = fmin if lo is None else min(lo, fmin)
+                hi = fmax if hi is None else max(hi, fmax)
+            ranges.sort()
+            for (_, a_hi, a_p), (b_lo, _, b_p) in zip(ranges, ranges[1:]):
+                if b_lo <= a_hi:
+                    raise ValueError(
+                        f"callable delta corpus batches overlap in docID "
+                        f"ranges: {os.path.basename(a_p)} and "
+                        f"{os.path.basename(b_p)}"
+                    )
             want_hi = n_before + delta["n"] - 1
             if n_file_rows != delta["n"] or lo != n_before or hi != want_hi:
                 raise ValueError(
@@ -530,17 +611,17 @@ def extend_index(
         heavy_terms = pq.read_table(os.path.join(index_dir, "heavy.parquet"))[
             "term"
         ].to_pylist()
-        # next free partition id past base + every prior generation; a
-        # resume MUST reuse it (layout stamp, same contract as doc layout)
+        # next free partition id past base + every RECORDED generation,
+        # derived from the MANIFEST, never the filesystem: a filesystem max
+        # would (a) collide with orphan dirs of an abandoned generation and
+        # (b) collapse to 0 if postings/ were missing, letting the retry
+        # hygiene below rmtree live base parts.  A resume MUST reuse the
+        # stamped value (same contract as the doc layout).
         layout_stamp = os.path.join(gen_dir, "layout.json")
         if os.path.exists(layout_stamp):
             part0 = _load_json(layout_stamp)["part0"]
         else:
-            existing = [
-                int(os.path.basename(d).split("=")[1])
-                for d in glob.glob(os.path.join(postings_dir, "part=*"))
-            ]
-            part0 = (max(existing) + 1) if existing else 0
+            part0 = _live_max_part(manifest, cfg) + 1
             _dump_json({"part0": part0}, layout_stamp)
         staging = os.path.join(gen_dir, "postings")
         if not _flag(p2_marker):
@@ -760,11 +841,21 @@ def refresh_bounds(index_dir: str) -> None:
     if not manifest.get("stale_ubs"):
         return
     stats = _load_json(os.path.join(index_dir, "stats.json"))
-    specs = [
-        {"src": d, "part": int(os.path.basename(d).split("=")[1])}
-        for d in sorted(glob.glob(os.path.join(index_dir, "postings", "part=*")))
-    ]
     cfg = BuildConfig(**manifest["config"])
+    # only manifest-accounted partitions: an exchange dir above the live
+    # ceiling is an orphan of an abandoned generation — encoding it would
+    # serve duplicate docIDs.  The LATEST extension's parts are already
+    # baked at the current stats (stats.json is written by that same
+    # extension), so re-encoding them would be pure waste — skip.
+    live_max = _live_max_part(manifest, cfg)
+    exts = manifest.get("extensions", [])
+    fresh = set(exts[-1]["parts"]) if exts else set()
+    specs = [
+        {"src": d, "part": p}
+        for d in sorted(glob.glob(os.path.join(index_dir, "postings", "part=*")))
+        if (p := int(os.path.basename(d).split("=")[1])) <= live_max
+        and p not in fresh
+    ]
     # staging root keyed by the stats it bakes: a LATER refresh (after a
     # further extension) must not inherit this run's swap markers, while a
     # crashed refresh at the SAME N resumes through them
