@@ -83,3 +83,22 @@ class BuildConfig:
     # the latter is filesystem-killing).  0 disables compaction.
     compact_min_fragments: int = 16
     extra: dict = field(default_factory=dict)
+
+
+def scratch_base() -> str | None:
+    """Default root for TRANSIENT storage-shuffle scratch (exchanges,
+    checkpoints that are deleted before the operator returns).
+
+    ``$WSE_SCRATCH_BASE`` when set; else ``/dev/shm`` when present; else
+    the system tempdir.  Rationale: this sandbox's lone disk streams at
+    ~65 MB/s, so a transient exchange on /tmp measures the disk, not the
+    engine (same artifact bench.py documents for the corpus); a real
+    cluster sets WSE_SCRATCH_BASE to fast shared/local-NVMe storage.
+    DURABLE scratch (resume roots the caller passes explicitly) is
+    unaffected — the caller owns its placement."""
+    import os as _os
+
+    p = _os.environ.get("WSE_SCRATCH_BASE")
+    if p:
+        return p
+    return "/dev/shm" if _os.path.isdir("/dev/shm") else None

@@ -25,6 +25,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..config import scratch_base
+
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
@@ -361,7 +363,7 @@ def ivf_topk(
     q_ids = qsel["vec_id"].to_numpy(np.int64)
     q_mat = np.stack(qsel["embedding"].to_numpy()).astype(np.float64)
     owns = index_dir is None
-    idx = index_dir or tempfile.mkdtemp(prefix="ivf_index_")
+    idx = index_dir or tempfile.mkdtemp(prefix="ivf_index_", dir=scratch_base())
     try:
         build_ivf_index(ds, idx, n_clusters=n_clusters, sample_rows=sample_rows)
         return ivf_search_index(idx, q_ids, q_mat, k=k, nprobe=nprobe)
@@ -735,7 +737,7 @@ def lsh_topk(
     q_ids = qsel["vec_id"].to_numpy(np.int64)
     q_mat = np.stack(qsel["embedding"].to_numpy()).astype(np.float64)
     owns = index_dir is None
-    idx = index_dir or tempfile.mkdtemp(prefix="lsh_index_")
+    idx = index_dir or tempfile.mkdtemp(prefix="lsh_index_", dir=scratch_base())
     try:
         build_lsh_index(ds, idx, n_bits=n_bits, seed=seed)
         return lsh_search_index(idx, q_ids, q_mat, k=k, nprobe=nprobe)

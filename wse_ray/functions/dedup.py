@@ -27,6 +27,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..config import scratch_base
 from ..stages.vectorized_tokenize import shingle_hash_batch
 
 _MERSENNE = (1 << 61) - 1
@@ -520,7 +521,7 @@ def minhash_dedup_pairs(
         MinHashBands(num_perm, bands, shingle_k), batch_format="pyarrow"
     )
     owns_scratch = scratch_dir is None
-    scratch = scratch_dir or tempfile.mkdtemp(prefix="minhash_lsh_")
+    scratch = scratch_dir or tempfile.mkdtemp(prefix="minhash_lsh_", dir=scratch_base())
     empty = pd.DataFrame(
         {
             "a": pd.Series(dtype=np.int64),
@@ -790,7 +791,7 @@ def ngram_jaccard_pairs(
 
     rows = ds.map_batches(_ShingleRows(shingle_k), batch_format="pyarrow")
     owns = scratch_dir is None
-    scratch = scratch_dir or tempfile.mkdtemp(prefix="ngram_shingles_")
+    scratch = scratch_dir or tempfile.mkdtemp(prefix="ngram_shingles_", dir=scratch_base())
     empty = pd.DataFrame(
         {
             "a": pd.Series(dtype=np.int64),
@@ -1020,7 +1021,7 @@ def simhash_pairs(
         }
     )
     owns = scratch_dir is None
-    scratch = scratch_dir or tempfile.mkdtemp(prefix="simhash_bands_")
+    scratch = scratch_dir or tempfile.mkdtemp(prefix="simhash_bands_", dir=scratch_base())
     try:
         # bands depend on nothing but the corpus and bucket_parts: resume
         # marker + a bucket_parts stamp in the dir name are sufficient
@@ -1168,7 +1169,7 @@ def embedding_dup_pairs(
     )
     centers_ref = ray.put(centers)
     owns_scratch = scratch_dir is None
-    scratch = scratch_dir or tempfile.mkdtemp(prefix="embdup_cells_")
+    scratch = scratch_dir or tempfile.mkdtemp(prefix="embdup_cells_", dir=scratch_base())
     try:
         ds.map_batches(
             _AssignCells(centers_ref, multi_assign), batch_format="pyarrow"

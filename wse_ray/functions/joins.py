@@ -38,6 +38,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from ..config import scratch_base
 from .dedup import _fresh_stage, _stage_done, _stage_mark
 
 _HOW_MAP = {
@@ -294,7 +295,7 @@ def partitioned_join(
         r_assign = _AssignJoinPart(rkeys, num_parts)
 
     owns = scratch_dir is None
-    scratch = scratch_dir or tempfile.mkdtemp(prefix="pjoin_")
+    scratch = scratch_dir or tempfile.mkdtemp(prefix="pjoin_", dir=scratch_base())
     ldir, rdir = os.path.join(scratch, "left"), os.path.join(scratch, "right")
     try:
         if not _stage_done(ldir):
@@ -501,7 +502,7 @@ def asof_join(
     ron = right_on or on
 
     owns = scratch_dir is None
-    scratch = scratch_dir or tempfile.mkdtemp(prefix="asof_")
+    scratch = scratch_dir or tempfile.mkdtemp(prefix="asof_", dir=scratch_base())
     ldir, rdir = os.path.join(scratch, "left"), os.path.join(scratch, "right")
     try:
         if not _stage_done(ldir):

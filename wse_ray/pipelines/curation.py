@@ -38,6 +38,8 @@ import tempfile
 import numpy as np
 import pyarrow as pa
 
+from ..config import scratch_base
+
 
 def curate_corpus(
     docs_ds, bench_ds, min_tokens: int = 20, max_dup3: float = 0.05,
@@ -92,7 +94,7 @@ def curate_corpus(
     from ..functions.dedup import _fresh_stage, _stage_done, _stage_mark
 
     owns = scratch_dir is None
-    scratch = scratch_dir or tempfile.mkdtemp(prefix="curate_")
+    scratch = scratch_dir or tempfile.mkdtemp(prefix="curate_", dir=scratch_base())
     qdir = os.path.join(scratch, "quality")
     if not _stage_done(qdir):
         _fresh_stage(qdir)
