@@ -182,3 +182,64 @@ def test_extract_batch_matches_scalar(tiny_corpus):
     assert out.column_names == ["url", "text"]
     assert out["text"].type == pa.large_binary()
     assert out["text"].to_pylist() == [extract_content(r, b"<body>", b"</body>") for r in rows]
+
+
+def test_extract_batch_hypothesis_matches_scalar():
+    """Property sweep: the batch kernel equals the scalar reference on
+    arbitrary byte rows (tags may appear zero, once, many times, split
+    across rows, overlapping)."""
+    import pyarrow as pa
+    from hypothesis import given, settings, strategies as st
+
+    from wse_ray.stages.extract import extract_batch, extract_content
+
+    frag = st.binary(max_size=12)
+    row = st.lists(
+        st.one_of(frag, st.just(b"<body>"), st.just(b"</body>"),
+                  st.just(b"<bo"), st.just(b"dy>"), st.just(b"</bo")),
+        max_size=6,
+    ).map(b"".join)
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(row, max_size=8))
+    def check(rows):
+        col = pa.array(rows, pa.large_binary())
+        got = extract_batch(col, b"<body>", b"</body>").to_pylist()
+        want = [extract_content(r, b"<body>", b"</body>") for r in rows]
+        assert got == want
+
+    check()
+
+
+def test_term_index_hypothesis_matches_dict():
+    """Property sweep: the sorted-buffer binary-search probe agrees with a
+    dict lookup for arbitrary vocabularies and probes."""
+    import numpy as np
+    import pyarrow as pa
+    from hypothesis import given, settings, strategies as st
+
+    term = st.binary(min_size=1, max_size=8)
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.sets(term, max_size=30), st.lists(term, max_size=10))
+    def check(vocab, probes):
+        terms = sorted(vocab)
+        uniq = pa.array(terms, pa.large_binary())
+        bufs = uniq.buffers()
+        offs = (
+            np.frombuffer(bufs[1], dtype=np.int64, count=len(uniq) + 1)
+            if len(uniq) else np.zeros(1, dtype=np.int64)
+        )
+        buf = bufs[2].to_pybytes() if bufs[2] is not None else b""
+
+        class Probe:
+            _ut_offsets, _ut_buf = offs, buf
+            from wse_ray.query.scorer import SearchEngine as _SE
+            _term_index = _SE._term_index
+
+        p = Probe()
+        want = {t: i for i, t in enumerate(terms)}
+        for q in list(probes) + terms:
+            assert p._term_index(q) == want.get(q, -1), q
+
+    check()

@@ -615,3 +615,26 @@ def test_orphaned_generation_is_swept(ray_session, tmp_path_factory):
                 q["query"], mode, q["k"]
             )
     _sh.rmtree(idx, ignore_errors=True)
+
+
+def test_refresh_bounds_two_rename_fallback(ray_session, tmp_path_factory, monkeypatch):
+    """Filesystems without renameat2(RENAME_EXCHANGE) take the two-rename
+    fallback; results must be identical."""
+    import wse_ray.index.extend as ext
+
+    monkeypatch.setattr(ext, "_exchange_paths", lambda a, b: False)
+    d = str(tmp_path_factory.mktemp("fb_corpus"))
+    paths = write_corpus_parquet(d, 200, n_files=4)
+    idx = str(tmp_path_factory.mktemp("fb_idx"))
+    build_index(paths[:2], idx, BuildConfig(num_partitions=2, partition_by="doc"))
+    ext.extend_index(idx, paths[2:])
+    refresh_bounds(idx)
+    full = str(tmp_path_factory.mktemp("fb_full"))
+    build_index(d, full, BuildConfig(num_partitions=2, partition_by="doc"))
+    e_inc, e_full = SearchEngine(idx), SearchEngine(full)
+    assert not e_inc._stale_ubs
+    for q in make_queries()[:8]:
+        for mode in ("disjunctive", "disjunctive_pruned"):
+            assert e_inc.search(q["query"], mode, q["k"]) == e_full.search(
+                q["query"], mode, q["k"]
+            )
