@@ -522,6 +522,7 @@ def minhash_dedup_pairs(
     )
     owns_scratch = scratch_dir is None
     scratch = scratch_dir or tempfile.mkdtemp(prefix="minhash_lsh_", dir=scratch_base())
+    os.makedirs(scratch, exist_ok=True)  # explicit scratch_dir may not exist yet
     empty = pd.DataFrame(
         {
             "a": pd.Series(dtype=np.int64),
@@ -792,6 +793,7 @@ def ngram_jaccard_pairs(
     rows = ds.map_batches(_ShingleRows(shingle_k), batch_format="pyarrow")
     owns = scratch_dir is None
     scratch = scratch_dir or tempfile.mkdtemp(prefix="ngram_shingles_", dir=scratch_base())
+    os.makedirs(scratch, exist_ok=True)  # explicit scratch_dir may not exist yet
     empty = pd.DataFrame(
         {
             "a": pd.Series(dtype=np.int64),
@@ -1022,6 +1024,7 @@ def simhash_pairs(
     )
     owns = scratch_dir is None
     scratch = scratch_dir or tempfile.mkdtemp(prefix="simhash_bands_", dir=scratch_base())
+    os.makedirs(scratch, exist_ok=True)  # explicit scratch_dir may not exist yet
     try:
         # bands depend on nothing but the corpus and bucket_parts: resume
         # marker + a bucket_parts stamp in the dir name are sufficient
@@ -1170,6 +1173,7 @@ def embedding_dup_pairs(
     centers_ref = ray.put(centers)
     owns_scratch = scratch_dir is None
     scratch = scratch_dir or tempfile.mkdtemp(prefix="embdup_cells_", dir=scratch_base())
+    os.makedirs(scratch, exist_ok=True)  # explicit scratch_dir may not exist yet
     try:
         ds.map_batches(
             _AssignCells(centers_ref, multi_assign), batch_format="pyarrow"
