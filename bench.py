@@ -29,6 +29,12 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_DOCS = int(os.environ.get("WSE_BENCH_DOCS", "50000"))
+# transient exchanges default to the system tempdir (safe for any input
+# size); the bench KNOWS its inputs fit in RAM, so it opts in to tmpfs
+# scratch explicitly (free-space-checked) — see config.scratch_base
+from wse_ray.config import opt_in_fast_scratch  # noqa: E402
+
+opt_in_fast_scratch()
 # corpus lives on tmpfs when available: this sandbox's single ~65 MB/s disk
 # would make the runs phase read-bound at EVERY core count (a cold 800k
 # corpus floors it at ~45 s), measuring the disk, not the engine — a real

@@ -638,3 +638,85 @@ def test_refresh_bounds_two_rename_fallback(ray_session, tmp_path_factory, monke
             assert e_inc.search(q["query"], mode, q["k"]) == e_full.search(
                 q["query"], mode, q["k"]
             )
+
+
+def test_refresh_bounds_crash_after_exchange_reencodes(
+    ray_session, tmp_path_factory, monkeypatch
+):
+    """ADVICE r4 (extend.py:170): a crash right after RENAME_EXCHANGE —
+    before the old encode is moved to trash and the swap marker lands —
+    parks the OLD encode in staging.  The resume must re-encode it (the
+    fix strips the live dir's _SUCCESS pre-exchange), never re-swap
+    stale-stats bounds back live; the finished index must be byte-equal
+    to a crash-free refresh."""
+    import shutil as _sh
+
+    import wse_ray.index.extend as ext
+
+    d = str(tmp_path_factory.mktemp("crash_corpus"))
+    paths = write_corpus_parquet(d, 200, n_files=4)
+    idx = str(tmp_path_factory.mktemp("crash_idx")) + "/idx"
+    build_index(paths[:2], idx, BuildConfig(num_partitions=2, partition_by="doc"))
+    ext.extend_index(idx, paths[2:])
+
+    # control: identical index refreshed without a crash
+    ctrl = idx + "_ctrl"
+    _sh.copytree(idx, ctrl)
+    refresh_bounds(ctrl)
+
+    real_ex = ext._exchange_paths
+    crashed = []
+
+    def crash_after_exchange(a, b):
+        assert real_ex(a, b), "sandbox kernel supports RENAME_EXCHANGE"
+        crashed.append(a)
+        raise RuntimeError("simulated crash right after RENAME_EXCHANGE")
+
+    monkeypatch.setattr(ext, "_exchange_paths", crash_after_exchange)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        refresh_bounds(idx)
+    monkeypatch.setattr(ext, "_exchange_paths", real_ex)
+
+    # the fix's invariant: the OLD encode now sitting in staging carries
+    # NO _SUCCESS, so the resume re-encodes instead of re-swapping it
+    assert crashed and os.path.isdir(crashed[0])
+    assert not os.path.exists(os.path.join(crashed[0], "_SUCCESS"))
+
+    assert json.load(open(os.path.join(idx, "manifest.json")))["stale_ubs"]
+    refresh_bounds(idx)
+    assert not json.load(open(os.path.join(idx, "manifest.json")))["stale_ubs"]
+    assert not glob.glob(os.path.join(idx, "bounds_refresh_N*"))
+
+    # byte-equality with the crash-free control, per part file
+    for cd in sorted(glob.glob(os.path.join(ctrl, "parts", "part=*"))):
+        pd = os.path.join(idx, "parts", os.path.basename(cd))
+        for fname in ("postings.bin", "lexicon.parquet"):
+            with open(os.path.join(cd, fname), "rb") as f1, open(
+                os.path.join(pd, fname), "rb"
+            ) as f2:
+                assert f1.read() == f2.read(), (cd, fname)
+
+    e_inc = SearchEngine(idx)
+    e_ctrl = SearchEngine(ctrl)
+    assert not e_inc._stale_ubs
+    for q in make_queries()[:8]:
+        for mode in ("disjunctive", "disjunctive_pruned"):
+            assert e_inc.search(q["query"], mode, q["k"]) == e_ctrl.search(
+                q["query"], mode, q["k"]
+            )
+
+
+def test_refresh_bounds_sweeps_leaked_staging_on_early_return(
+    ray_session, tmp_path_factory
+):
+    """ADVICE r4 (extend.py:856): a refresh that crashed after clearing
+    stale_ubs but before its cleanup glob leaves bounds_refresh_N* dirs;
+    the next (no-op) refresh_bounds call must sweep them."""
+    d = str(tmp_path_factory.mktemp("sweep_corpus"))
+    paths = write_corpus_parquet(d, 100, n_files=2)
+    idx = str(tmp_path_factory.mktemp("sweep_idx"))
+    build_index(paths, idx, BuildConfig(num_partitions=2, partition_by="doc"))
+    leaked = os.path.join(idx, "bounds_refresh_N999", "parts", "part=00000")
+    os.makedirs(leaked)
+    refresh_bounds(idx)  # stale_ubs unset -> early return, but must sweep
+    assert not glob.glob(os.path.join(idx, "bounds_refresh_N*"))

@@ -89,16 +89,34 @@ def scratch_base() -> str | None:
     """Default root for TRANSIENT storage-shuffle scratch (exchanges,
     checkpoints that are deleted before the operator returns).
 
-    ``$WSE_SCRATCH_BASE`` when set; else ``/dev/shm`` when present; else
-    the system tempdir.  Rationale: this sandbox's lone disk streams at
-    ~65 MB/s, so a transient exchange on /tmp measures the disk, not the
-    engine (same artifact bench.py documents for the corpus); a real
-    cluster sets WSE_SCRATCH_BASE to fast shared/local-NVMe storage.
-    DURABLE scratch (resume roots the caller passes explicitly) is
-    unaffected — the caller owns its placement."""
+    ``$WSE_SCRATCH_BASE`` when set; else the system tempdir (``None`` —
+    ``tempfile`` resolves it).  Fast scratch (``/dev/shm``, local NVMe) is
+    deliberately OPT-IN: exchanges are corpus-sized (joins carry full rows,
+    the curation checkpoint carries the kept corpus TEXT), and a RAM-backed
+    tmpfs default — typically capped at 50% of RAM — would turn any
+    larger-than-memory input into ENOSPC/OOM precisely where the
+    storage-is-the-shuffle pattern is supposed to spill.  Benchmarks and
+    stress tools on this sandbox set ``WSE_SCRATCH_BASE=/dev/shm``
+    themselves after checking free space (the lone ~65 MB/s disk would
+    otherwise measure the disk, not the engine — bench.py documents this);
+    a real cluster points it at local-NVMe/shared fast storage.  DURABLE
+    scratch (resume roots the caller passes explicitly) is unaffected —
+    the caller owns its placement."""
     import os as _os
 
-    p = _os.environ.get("WSE_SCRATCH_BASE")
-    if p:
-        return p
-    return "/dev/shm" if _os.path.isdir("/dev/shm") else None
+    return _os.environ.get("WSE_SCRATCH_BASE") or None
+
+
+def opt_in_fast_scratch(min_free_bytes: int = 4 << 30) -> None:
+    """Set ``WSE_SCRATCH_BASE=/dev/shm`` (if unset) when the tmpfs exists
+    and has at least ``min_free_bytes`` free — the explicit opt-in bench
+    and stress tools use for inputs they KNOW fit in RAM-backed scratch."""
+    import os as _os
+
+    if _os.environ.get("WSE_SCRATCH_BASE"):
+        return
+    if not _os.path.isdir("/dev/shm"):
+        return
+    st = _os.statvfs("/dev/shm")
+    if st.f_bavail * st.f_frsize >= min_free_bytes:
+        _os.environ["WSE_SCRATCH_BASE"] = "/dev/shm"

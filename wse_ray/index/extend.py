@@ -167,6 +167,18 @@ def _encode_parts_staged(
         trash = os.path.join(staging_root, f"old-{name}")
         shutil.rmtree(trash, ignore_errors=True)
         if os.path.isdir(dst):
+            # crash-idempotency of the EXCHANGE path: strip the live dir's
+            # _SUCCESS first, so if we crash after the exchange but before
+            # the swap marker, the OLD encode now sitting in staging is NOT
+            # a valid cached encode — the resume re-encodes it fresh instead
+            # of swapping stale-stats bounds back live (which refresh_bounds
+            # would then unsoundly clear stale_ubs over).  The new encode
+            # keeps its own _SUCCESS through the swap, and the scorer never
+            # reads the marker, so serving is unaffected either way.
+            try:
+                os.remove(os.path.join(dst, "_SUCCESS"))
+            except FileNotFoundError:
+                pass
             if _exchange_paths(src, dst):  # atomic: no missing-dir window
                 os.rename(src, trash)  # src now holds the OLD encode
             else:
@@ -839,6 +851,11 @@ def refresh_bounds(index_dir: str) -> None:
     manifest_path = os.path.join(index_dir, "manifest.json")
     manifest = _load_json(manifest_path)
     if not manifest.get("stale_ubs"):
+        # a prior refresh may have crashed AFTER clearing stale_ubs but
+        # BEFORE its cleanup glob — sweep leaked staging dirs (including
+        # old-encode trash) here too, not only on the full-refresh path
+        for d in glob.glob(os.path.join(index_dir, "bounds_refresh_N*")):
+            shutil.rmtree(d, ignore_errors=True)
         return
     stats = _load_json(os.path.join(index_dir, "stats.json"))
     cfg = BuildConfig(**manifest["config"])
