@@ -101,3 +101,162 @@ def test_funnel_partial_and_misordered(ray_session, tmp_path):
     # stage counts: views u1,u2,u3,u4,u6 = 5; clicks-after-view u1,u3,u6 = 3;
     # purchases-after-click u1 = 1
     assert list(got["n_users"]) == [5, 3, 1]
+
+
+# --------------------------------------------------------------------------
+# r5 partition-wide kernels (storage-exchange path) vs pandas references
+# --------------------------------------------------------------------------
+
+GAP = 30 * 60 * 1_000_000
+
+
+def _events(n=3000, users=37, seed=11):
+    rng = np.random.default_rng(seed)
+    ts = rng.integers(0, 5 * 86_400_000_000, n)
+    return pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "user_id": pa.array(rng.integers(0, users, n).astype(np.int64)),
+            "ts": pa.array(ts.astype("datetime64[us]")),
+            "event_type": pa.array(
+                np.array(["view", "click", "purchase", "error"])[
+                    rng.integers(0, 4, n)
+                ]
+            ),
+        }
+    )
+
+
+def test_session_assign_kernel_matches_pandas():
+    from wse_ray.functions.windows import session_assign_kernel
+
+    t = _events()
+    got = (
+        session_assign_kernel(t, "user_id", "ts", "event_id", GAP)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    df = t.to_pandas()
+
+    def assign(g):
+        g = g.sort_values(["ts", "event_id"])
+        gaps = (g["ts"].diff() > pd.Timedelta(minutes=30)).cumsum()
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(np.int64),
+                "user_id": g["user_id"].to_numpy(np.int64),
+                "session_idx": gaps.to_numpy(np.int64),
+            }
+        )
+
+    want = (
+        df.groupby("user_id", group_keys=False)[df.columns]
+        .apply(assign)
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want[got.columns])
+
+
+def test_sessionize_rollup_kernel_matches_pandas():
+    from wse_ray.functions.windows import sessionize_rollup_kernel
+
+    t = _events(seed=13)
+    got = (
+        sessionize_rollup_kernel(t, "user_id", "ts", "event_id", GAP)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    df = t.to_pandas()
+
+    def roll(g):
+        g = g.sort_values(["ts", "event_id"])
+        return pd.Series(
+            {
+                "n_events": len(g),
+                "n_sessions": int(1 + (g["ts"].diff() > pd.Timedelta(minutes=30)).sum()),
+            }
+        )
+
+    want = (
+        df.groupby("user_id").apply(roll, include_groups=False).reset_index()
+    ).astype({"user_id": np.int64, "n_events": np.int64, "n_sessions": np.int64})
+    pd.testing.assert_frame_equal(got, want[got.columns])
+
+
+def test_funnel_stage_kernel_matches_loop_reference():
+    from wse_ray.functions.windows import funnel_stage_kernel
+
+    stages = ["view", "click", "purchase"]
+    t = _events(seed=17)
+    got = funnel_stage_kernel(t, "user_id", "ts", "event_type", stages)
+    df = t.to_pandas()
+
+    def chain(g):
+        stage, cutoff = 0, pd.Timestamp.min
+        for ev in stages:
+            ts = g.loc[(g["event_type"] == ev) & (g["ts"] > cutoff), "ts"]
+            if ts.empty:
+                break
+            stage += 1
+            cutoff = ts.min()
+        return stage
+    per_user = df.groupby("user_id").apply(chain, include_groups=False)
+    want = [int((per_user >= s).sum()) for s in (1, 2, 3)]
+    assert got["n_users_p"].to_pylist() == want
+
+
+def test_kernels_empty_partition_schema_stable():
+    from wse_ray.functions.windows import (
+        funnel_stage_kernel,
+        session_assign_kernel,
+        sessionize_rollup_kernel,
+    )
+
+    empty = _events().slice(0, 0)
+    a = session_assign_kernel(empty, "user_id", "ts", "event_id", GAP)
+    b = sessionize_rollup_kernel(empty, "user_id", "ts", "event_id", GAP)
+    c = funnel_stage_kernel(empty, "user_id", "ts", "event_type", ["view", "click"])
+    assert a.num_rows == 0 and a.column_names == ["event_id", "user_id", "session_idx"]
+    assert b.num_rows == 0 and b.column_names == ["user_id", "n_events", "n_sessions"]
+    assert c.num_rows == 2 and c["n_users_p"].to_pylist() == [0, 0]
+
+
+def test_hop_partials_explode_equals_raw_explode_aggregate():
+    """The decomposable shortcut (hop partials -> explode partials) must
+    equal the raw explode -> groupby aggregate, exactly."""
+    from wse_ray.functions.windows import explode_hops_to_windows, hop_partials
+
+    rng = np.random.default_rng(23)
+    n = 4000
+    t = pa.table(
+        {
+            "ts": pa.array(
+                rng.integers(0, 3 * 86_400_000_000, n).astype("datetime64[us]")
+            ),
+            "event_type": pa.array(
+                np.array(["a", "b", "c"])[rng.integers(0, 3, n)]
+            ),
+            "value": pa.array(rng.normal(size=n)),
+        }
+    )
+    part = hop_partials(t, "ts", ["event_type"], "value", HOP)
+    got = (
+        explode_hops_to_windows(part, SIZE, HOP)
+        .to_pandas()
+        .groupby(["event_type", "window_start"], as_index=False)
+        .agg(n=("n_p", "sum"), s=("sum_p", "sum"))
+        .sort_values(["event_type", "window_start"])
+        .reset_index(drop=True)
+    )
+    raw = sliding_window_explode(t, "ts", SIZE, HOP).to_pandas()
+    want = (
+        raw.groupby(["event_type", "window_start"], as_index=False)
+        .agg(n=("value", "size"), s=("value", "sum"))
+        .sort_values(["event_type", "window_start"])
+        .reset_index(drop=True)
+    )
+    want["n"] = want["n"].astype(got["n"].dtype)
+    pd.testing.assert_frame_equal(got, want)

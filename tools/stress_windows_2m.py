@@ -1,13 +1,17 @@
-"""2M-event stress for the window/sessionization family: the per-key
-window operators ride Ray Data's sort-based groupby shuffle (in-memory
-with object-store spill), unlike the storage-shuffled dedup/join engines —
-this measures whether that choice survives event-table scale.
+"""2M-event stress for the window/sessionization family.
+
+Round 5 moved the family off Ray Data's in-memory sort-based groupby
+(per-group pandas frames) onto the storage-exchange pattern the rest of
+the engine uses: hash-partition by user to hive parquet
+(``functions.exchange.partition_apply``), one PARTITION-WIDE vectorized
+kernel task per partition (``functions/windows.py``).  This tool times
+BOTH paths on the same synthetic 2M-event table, cross-checks their
+outputs exactly (full-table equality for per-row session assignment;
+stage-count equality for the funnel; rollup equality vs a pandas
+reference), and reports rows/sec + driver peak RSS.
 
 Synthetic events: EVENTS rows over USERS users, deterministic splitmix
 timestamps within a 30-day window, a type column for the funnel chain.
-Reports wall time, rows/sec and driver peak RSS per operator; each
-result is sanity-checked against an exact computation on a sampled key
-subset (full-table pandas would defeat the point).
 
     PYTHONPATH=. python tools/stress_windows_2m.py [--events N] [--users N]
 """
@@ -16,7 +20,9 @@ import os
 import resource
 import shutil
 import sys
+import tempfile
 import time
+from functools import partial
 
 import numpy as np
 import pandas as pd
@@ -32,8 +38,11 @@ for i, a in enumerate(sys.argv):
     if a == "--users":
         USERS = int(sys.argv[i + 1])
 CORPUS = f"/dev/shm/wse_stress_events_{EVENTS}"
+SCRATCH = "/dev/shm/wse_stress_winx"
 GAP_US = 30 * 60 * 1_000_000  # 30-min session gap
 TYPES = np.array(["view", "click", "purchase", "error"])
+FUNNEL = ["view", "click", "purchase"]
+PARTS = 64
 
 
 def _mix64(x: np.ndarray) -> np.ndarray:
@@ -72,6 +81,13 @@ def main():
     import ray.data
     from ray.data import DataContext
 
+    from wse_ray.functions.exchange import partition_apply
+    from wse_ray.functions.windows import (
+        funnel_stage_kernel,
+        session_assign_kernel,
+        sessionize_rollup_kernel,
+    )
+
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=32, include_dashboard=False,
                  logging_level="ERROR")
@@ -84,13 +100,26 @@ def main():
         ).write_parquet(CORPUS, compression="zstd")
         open(CORPUS + "/_DONE", "w").write("ok")
 
-    out = {"events": EVENTS, "users": USERS, "rss_gb_before": rss_gb()}
+    out = {"events": EVENTS, "users": USERS, "parts": PARTS,
+           "rss_gb_before": rss_gb()}
 
     def events_ds():
         return ray.data.read_parquet(CORPUS)
 
-    # --- session assignment: per-user sort + 30-min-gap cumsum ------------
-    def assign(g: pd.DataFrame) -> pd.DataFrame:
+    def timed(fn):
+        t0 = time.perf_counter()
+        r = fn()
+        return r, time.perf_counter() - t0
+
+    def fresh_scratch(tag):
+        d = os.path.join(SCRATCH, tag)
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d)
+        return d
+
+    # --- session assignment ------------------------------------------------
+    # OLD: Ray in-memory groupby + per-group pandas frames
+    def assign_old(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"])
         gaps = g["ts"].diff().dt.total_seconds().fillna(0.0) * 1e6
         sess = (gaps > GAP_US).cumsum()
@@ -99,37 +128,76 @@ def main():
              "session_idx": sess.astype(np.int64)}
         )
 
-    t0 = time.perf_counter()
-    n = (
-        events_ds()
+    old_df, old_sec = timed(
+        lambda: events_ds()
         .groupby("user_id")
-        .map_groups(assign, batch_format="pandas")
-        .count()
+        .map_groups(assign_old, batch_format="pandas")
+        .to_pandas()
     )
-    sec = time.perf_counter() - t0
-    assert n == EVENTS
-    out["session_assignments"] = {
-        "sec": round(sec, 1), "rows_per_sec": round(EVENTS / sec),
+    assert len(old_df) == EVENTS
+    out["session_assignments_old_groupby"] = {
+        "sec": round(old_sec, 1), "rows_per_sec": round(EVENTS / old_sec),
         "rss_gb_peak": rss_gb(),
     }
+
+    # NEW: storage exchange + partition-wide kernel
+    kern = partial(session_assign_kernel, key_col="user_id", ts_col="ts",
+                   id_col="event_id", gap_us=GAP_US)
+    scr = fresh_scratch("assign")
+    new_df, new_sec = timed(
+        lambda: partition_apply(
+            events_ds(), "user_id", kern, num_parts=PARTS, scratch_dir=scr
+        ).to_pandas()
+    )
+    shutil.rmtree(scr, ignore_errors=True)
+    assert len(new_df) == EVENTS
+    out["session_assignments_exchange"] = {
+        "sec": round(new_sec, 1), "rows_per_sec": round(EVENTS / new_sec),
+        "rss_gb_peak": rss_gb(),
+        "speedup_vs_old": round(old_sec / new_sec, 2),
+    }
+    # FULL-table equality old vs new
+    a = old_df.sort_values("event_id").reset_index(drop=True)
+    b = new_df.sort_values("event_id").reset_index(drop=True).astype(a.dtypes)
+    pd.testing.assert_frame_equal(a, b[a.columns])
+    del a, b, old_df, new_df
     print(json.dumps(out), flush=True)
 
-    # spot-check one mid-size user exactly against pandas
-    uid = 77
-    got = (
-        events_ds()
-        .filter(lambda r: r["user_id"] == uid)
-        .to_pandas()
-        .pipe(assign)
-        .sort_values("event_id")
-        .reset_index(drop=True)
+    # --- per-user rollup (sessionize) --------------------------------------
+    rkern = partial(sessionize_rollup_kernel, key_col="user_id", ts_col="ts",
+                    id_col="event_id", gap_us=GAP_US)
+    scr = fresh_scratch("rollup")
+    roll, roll_sec = timed(
+        lambda: partition_apply(
+            events_ds(), "user_id", rkern, num_parts=PARTS, scratch_dir=scr
+        ).to_pandas()
     )
+    shutil.rmtree(scr, ignore_errors=True)
+    out["sessionize_exchange"] = {
+        "sec": round(roll_sec, 1), "rows_per_sec": round(EVENTS / roll_sec),
+        "users": len(roll), "rss_gb_peak": rss_gb(),
+    }
+    # reference: exact pandas rollup over the full table
     full = pd.read_parquet(CORPUS)
-    want = assign(full[full["user_id"] == uid]).sort_values("event_id").reset_index(drop=True)
-    pd.testing.assert_frame_equal(got, want)
+    f = full.sort_values(["user_id", "ts", "event_id"])
+    gaps = (f["ts"].diff().dt.total_seconds() * 1e6 > GAP_US) & (
+        f["user_id"].diff() == 0
+    )
+    ref = (
+        f.assign(new_sess=gaps)
+        .groupby("user_id")
+        .agg(n_events=("ts", "size"), n_sessions=("new_sess", "sum"))
+        .reset_index()
+    )
+    ref["n_sessions"] = ref["n_sessions"].astype(np.int64) + 1
+    got = roll.sort_values("user_id").reset_index(drop=True).astype(
+        {"user_id": np.int64, "n_events": np.int64, "n_sessions": np.int64}
+    )
+    pd.testing.assert_frame_equal(got, ref.astype(got.dtypes)[got.columns])
+    print(json.dumps(out), flush=True)
 
-    # --- strict view->click->purchase funnel per user ----------------------
-    def chain(g: pd.DataFrame) -> pd.DataFrame:
+    # --- strict view->click->purchase funnel -------------------------------
+    def chain_old(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"])
         stage = 0
         for t in g["event_type"]:
@@ -142,45 +210,36 @@ def main():
                 break
         return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "stage": [stage]})
 
-    t0 = time.perf_counter()
-    stages = (
-        events_ds()
+    old_stages, old_fsec = timed(
+        lambda: events_ds()
         .groupby("user_id")
-        .map_groups(chain, batch_format="pandas")
+        .map_groups(chain_old, batch_format="pandas")
         .to_pandas()
     )
-    sec = time.perf_counter() - t0
-    assert len(stages) == full["user_id"].nunique()
-    out["funnel"] = {
-        "sec": round(sec, 1), "rows_per_sec": round(EVENTS / sec),
-        "users": len(stages),
-        "stage3_users": int((stages["stage"] == 3).sum()),
-        "rss_gb_peak": rss_gb(),
+    old_counts = [int((old_stages["stage"] >= s).sum()) for s in (1, 2, 3)]
+    out["funnel_old_groupby"] = {
+        "sec": round(old_fsec, 1), "rows_per_sec": round(EVENTS / old_fsec),
+        "stage_counts": old_counts, "rss_gb_peak": rss_gb(),
     }
-    print(json.dumps(out), flush=True)
 
-    # --- tumbling daily window (groupby day) -------------------------------
-    from ray.data.aggregate import Count
-
-    def day_key(t: pa.Table) -> pa.Table:
-        d = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[D]")
-        return pa.table({"day": pa.array(d.astype(str)),
-                         "user_id": t["user_id"]})
-
-    t0 = time.perf_counter()
-    daily = (
-        events_ds()
-        .map_batches(day_key, batch_format="pyarrow")
-        .groupby("day")
-        .aggregate(Count(alias_name="n"))
-        .to_pandas()
+    fkern = partial(funnel_stage_kernel, key_col="user_id", ts_col="ts",
+                    type_col="event_type", stages=FUNNEL)
+    scr = fresh_scratch("funnel")
+    fun, new_fsec = timed(
+        lambda: partition_apply(
+            events_ds(), "user_id", fkern, num_parts=PARTS, scratch_dir=scr
+        ).to_pandas()
     )
-    sec = time.perf_counter() - t0
-    assert int(daily["n"].sum()) == EVENTS
-    out["daily_counts"] = {
-        "sec": round(sec, 1), "rows_per_sec": round(EVENTS / sec),
-        "days": len(daily), "rss_gb_peak": rss_gb(),
+    shutil.rmtree(scr, ignore_errors=True)
+    new_counts = (
+        fun.groupby("stage")["n_users_p"].sum().sort_index().tolist()
+    )
+    out["funnel_exchange"] = {
+        "sec": round(new_fsec, 1), "rows_per_sec": round(EVENTS / new_fsec),
+        "stage_counts": new_counts, "rss_gb_peak": rss_gb(),
+        "speedup_vs_old": round(old_fsec / new_fsec, 2),
     }
+    assert new_counts == old_counts, (new_counts, old_counts)
     print(json.dumps(out), flush=True)
     ray.shutdown()
 

@@ -204,31 +204,38 @@ def q_events_asof_purchase(sf_dir: str) -> pd.DataFrame:
 
 
 def q_events_window(sf_dir: str) -> pd.DataFrame:
-    """Tumbling 1-hour window per event_type (streaming-shaped workload as a
-    batch groupby over floor(ts/1h))."""
-    from ray.data.aggregate import Count, Sum
+    """Tumbling 1-hour window per event_type.  Map-side combiner shape
+    (r5): each batch collapses to per-(type, window) partial (sum, count)
+    rows via Arrow's hash aggregate (``functions.windows.window_partials``)
+    BEFORE the shuffle, so the all-to-all moves partial rows — bounded by
+    window×type cardinality per batch — never raw events."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.windows import window_partials
 
     ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
 
-    def win(t: pa.Table) -> pa.Table:
+    def win_partial(t: pa.Table) -> pa.Table:
         ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
         bucket = ts.astype("int64") // 3_600_000_000 * 3_600_000_000
-        return pa.table(
+        t = pa.table(
             {
                 "event_type": t["event_type"],
                 "window_start": pa.array(bucket.astype("datetime64[us]")),
                 "value": t["value"],
             }
         )
+        return window_partials(t, ["event_type", "window_start"], "value")
 
     out = (
-        ds.map_batches(win, batch_format="pyarrow")
+        ds.map_batches(win_partial, batch_format="pyarrow")
         .groupby(["event_type", "window_start"])
-        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        .aggregate(Sum("n_p", alias_name="n_events"), Sum("sum_p", alias_name="sum_value"))
         .to_pandas()
     )
     out["sum_value"] = out["sum_value"].round(4)
     out["n_events"] = out["n_events"].astype(np.int64)
+    out = out[["event_type", "window_start", "n_events", "sum_value"]]
     return out.sort_values(["event_type", "window_start"]).reset_index(drop=True)
 
 
@@ -265,31 +272,41 @@ def q_click_error_pairs(sf_dir: str) -> pd.DataFrame:
 
 def q_events_sliding_window(sf_dir: str) -> pd.DataFrame:
     """Sliding-window aggregate: 1-hour windows hopping every 15 minutes
-    (each event counted in 4 overlapping windows), via
-    ``functions.windows.sliding_window_explode`` — a vectorized take-gather
-    explode feeding an ordinary grouped aggregate."""
+    (each event counted in 4 overlapping windows).  Decomposable-aggregate
+    shape (r5): each batch pre-aggregates per (type, HOP bucket) with
+    Arrow's hash aggregate, the S/H=4× explode replicates hop PARTIALS
+    (not raw rows) to their covering windows, and the shuffle combines
+    partials — raw events are never exploded or shuffled
+    (``functions.windows.hop_partials`` + ``explode_hops_to_windows``;
+    the raw-row ``sliding_window_explode`` remains for non-decomposable
+    aggregates)."""
     from functools import partial as _partial
 
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
-    from ..functions.windows import sliding_window_explode
+    from ..functions.windows import explode_hops_to_windows, hop_partials
 
     SIZE_US, HOP_US = 3_600_000_000, 900_000_000
     ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
     out = (
         ds.map_batches(
             _partial(
-                sliding_window_explode, ts_col="ts",
-                size_us=SIZE_US, hop_us=HOP_US,
+                hop_partials, ts_col="ts", keys=["event_type"],
+                value_col="value", hop_us=HOP_US,
             ),
             batch_format="pyarrow",
         )
+        .map_batches(
+            _partial(explode_hops_to_windows, size_us=SIZE_US, hop_us=HOP_US),
+            batch_format="pyarrow",
+        )
         .groupby(["event_type", "window_start"])
-        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        .aggregate(Sum("n_p", alias_name="n_events"), Sum("sum_p", alias_name="sum_value"))
         .to_pandas()
     )
     out["sum_value"] = out["sum_value"].round(4)
     out["n_events"] = out["n_events"].astype(np.int64)
+    out = out[["event_type", "window_start", "n_events", "sum_value"]]
     return out.sort_values(["event_type", "window_start"]).reset_index(drop=True)
 
 
@@ -311,23 +328,35 @@ def q_top_users(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+_GAP_US = 30 * 60 * 1_000_000  # 30-min inactivity gap
+_SESSION_PARTS = 16
+
+
 def q_sessionize(sf_dir: str) -> pd.DataFrame:
-    """Per-user sessionization (30-min inactivity gap) via groupby.map_groups
-    over ts-sorted groups — the stateful-stream pattern in batch form."""
+    """Per-user sessionization (30-min inactivity gap) — the stateful-
+    stream pattern in batch form.  Storage-exchange shape (r5): events
+    hash-partition by user to hive parquet
+    (``functions.exchange.partition_apply``), then ONE task per partition
+    runs a partition-WIDE lexsort + gap-cumsum kernel
+    (``windows.sessionize_rollup_kernel``) — no per-group pandas frames,
+    no in-memory all-to-all.  Per-key bound: one user's (thin) event rows
+    must fit a worker; raise num_parts first."""
+    import tempfile
+
+    from functools import partial as _partial
+
+    from ..functions.exchange import partition_apply
+    from ..functions.windows import sessionize_rollup_kernel
+
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
-
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        gaps = g["ts"].diff() > pd.Timedelta(minutes=30)
-        return pd.DataFrame(
-            {
-                "user_id": [int(g["user_id"].iloc[0])],
-                "n_events": [len(g)],
-                "n_sessions": [int(1 + gaps.sum())],
-            }
-        )
-
-    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas").to_pandas()
+    kern = _partial(
+        sessionize_rollup_kernel, key_col="user_id", ts_col="ts",
+        id_col="event_id", gap_us=_GAP_US,
+    )
+    with tempfile.TemporaryDirectory(prefix="sess_roll_") as scratch:
+        out = partition_apply(
+            ds, "user_id", kern, num_parts=_SESSION_PARTS, scratch_dir=scratch
+        ).to_pandas()
     return out.astype(
         {"user_id": np.int64, "n_events": np.int64, "n_sessions": np.int64}
     ).sort_values("user_id").reset_index(drop=True)
@@ -336,23 +365,27 @@ def q_sessionize(sf_dir: str) -> pd.DataFrame:
 def q_session_assignments(sf_dir: str) -> pd.DataFrame:
     """Event-level sessionization: each event gets its user's session
     ordinal (0-based; a new session opens after >30 min inactivity).  The
-    distributed window-function pattern: partition by user (Ray groupby),
-    per-group vectorized sort + gap cumsum — per-row output, unlike
-    ``q_sessionize``'s per-user rollup."""
+    distributed window-function pattern, storage-exchange shape (r5):
+    partition by user hash to storage, one partition-wide
+    ``windows.session_assign_kernel`` task per partition (global gap
+    cumsum minus per-key base — per-row output with no per-group
+    frames)."""
+    import tempfile
+
+    from functools import partial as _partial
+
+    from ..functions.exchange import partition_apply
+    from ..functions.windows import session_assign_kernel
+
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
-
-    def assign(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        gaps = (g["ts"].diff() > pd.Timedelta(minutes=30)).cumsum()
-        return pd.DataFrame(
-            {
-                "event_id": g["event_id"].to_numpy(np.int64),
-                "user_id": g["user_id"].to_numpy(np.int64),
-                "session_idx": gaps.to_numpy(np.int64),
-            }
-        )
-
-    out = ds.groupby("user_id").map_groups(assign, batch_format="pandas").to_pandas()
+    kern = _partial(
+        session_assign_kernel, key_col="user_id", ts_col="ts",
+        id_col="event_id", gap_us=_GAP_US,
+    )
+    with tempfile.TemporaryDirectory(prefix="sess_assign_") as scratch:
+        out = partition_apply(
+            ds, "user_id", kern, num_parts=_SESSION_PARTS, scratch_dir=scratch
+        ).to_pandas()
     return out.astype(
         {"event_id": np.int64, "user_id": np.int64, "session_idx": np.int64}
     ).sort_values("event_id").reset_index(drop=True)
@@ -362,19 +395,30 @@ _DISTINCT_BUCKETS = 32
 
 
 def q_distinct_users_daily(sf_dir: str) -> pd.DataFrame:
-    """Exact distinct count per day, fully distributed:
+    """Exact distinct count per day, fully distributed (storage-exchange
+    shape, r5):
 
     1. per-batch unique (day, user) pairs (map-side pre-aggregation — raw
        rows never shuffle);
-    2. pairs shuffle keyed on (day, hash-bucket of user): each group holds
-       ~1/K of one day's distinct users, so group size stays bounded at any
-       scale (a single-day group would not);
-    3. per-group exact nunique -> tiny (day, bucket, count) partials whose
+    2. pairs hash-partition by USER through the storage exchange
+       (``functions.exchange.partition_apply``): each partition holds
+       ~1/K of the distinct users for EVERY day, so partition size stays
+       bounded at any scale (a per-day partition would not);
+    3. one partition-wide kernel per partition
+       (``windows.distinct_pairs_daily_kernel``): exact per-day nunique
+       over partition-disjoint users -> tiny (day, count) partials whose
        final per-day sum is days x K rows on the driver.
     """
+    import tempfile
+
+    from functools import partial as _partial
+
+    from ..functions.exchange import partition_apply
+    from ..functions.windows import distinct_pairs_daily_kernel
+
     ds = _read(sf_dir, "events", ["ts", "user_id"])
 
-    def partial(t: pa.Table) -> pa.Table:
+    def pair_partial(t: pa.Table) -> pa.Table:
         ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[D]")
         uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         pairs = np.unique(
@@ -384,24 +428,18 @@ def q_distinct_users_daily(sf_dir: str) -> pd.DataFrame:
             {
                 "day": pa.array(pairs[:, 0].astype("datetime64[D]").astype("datetime64[us]")),
                 "user_id": pa.array(pairs[:, 1]),
-                "bucket": pa.array(pairs[:, 1] % _DISTINCT_BUCKETS),
             }
         )
 
-    def bucket_count(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "day": [g["day"].iloc[0]],
-                "n_users_p": [int(g["user_id"].nunique())],
-            }
-        )
-
-    partials = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["day", "bucket"])
-        .map_groups(bucket_count, batch_format="pandas")
-        .to_pandas()  # tiny: days x buckets rows
-    )
+    kern = _partial(distinct_pairs_daily_kernel, key_col="user_id")
+    with tempfile.TemporaryDirectory(prefix="distinct_daily_") as scratch:
+        partials = partition_apply(
+            ds.map_batches(pair_partial, batch_format="pyarrow"),
+            "user_id",
+            kern,
+            num_parts=_DISTINCT_BUCKETS,
+            scratch_dir=scratch,
+        ).to_pandas()  # tiny: days x partitions rows
     out = partials.groupby("day", as_index=False).agg(n_users=("n_users_p", "sum"))
     out["n_users"] = out["n_users"].astype(np.int64)
     return out.sort_values("day").reset_index(drop=True)
@@ -414,35 +452,36 @@ def q_funnel(sf_dir: str) -> pd.DataFrame:
     """Ordered-sequence funnel: users reaching each stage of
     view -> click -> purchase, where stage k+1 must happen STRICTLY after
     the user's earliest qualifying stage-k event (the classic strict
-    funnel chain).  One user-key shuffle of only the three event types;
-    per-user chain is a vectorized min-scan; stage counts flow back as
-    3-number partials per batch."""
+    funnel chain).  Storage-exchange shape (r5): only the three event
+    types are exchanged, partitioned by user hash; each partition runs
+    ``windows.funnel_stage_kernel`` — the per-user chain vectorized
+    ACROSS users (per stage, one masked ``np.minimum.at`` scatter into a
+    per-key cutoff array; no per-user Python loop) — and returns one
+    3-row partial; users are partition-disjoint so partials sum exactly."""
+    import tempfile
+
+    from functools import partial as _partial
+
+    from ..functions.exchange import partition_apply
+    from ..functions.windows import funnel_stage_kernel
+
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
 
     def keep(t: pa.Table) -> pa.Table:
         return t.filter(pc.is_in(t["event_type"], value_set=pa.array(_FUNNEL)))
 
-    def chain(g: pd.DataFrame) -> pd.DataFrame:
-        stage = 0
-        cutoff = pd.Timestamp.min
-        for ev in _FUNNEL:
-            ts = g.loc[(g["event_type"] == ev) & (g["ts"] > cutoff), "ts"]
-            if ts.empty:
-                break
-            stage += 1
-            cutoff = ts.min()
-        return pd.DataFrame({"user_id": g["user_id"].iloc[:1], "stage": [stage]})
-
-    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
-        reached = [int((df["stage"] >= s).sum()) for s in (1, 2, 3)]
-        return pd.DataFrame({"stage": [1, 2, 3], "n_users_p": reached})
-
-    per_user = (
-        ds.map_batches(keep, batch_format="pyarrow")
-        .groupby("user_id")
-        .map_groups(chain, batch_format="pandas")
+    kern = _partial(
+        funnel_stage_kernel, key_col="user_id", ts_col="ts",
+        type_col="event_type", stages=_FUNNEL,
     )
-    partials = per_user.map_batches(partial_counts, batch_format="pandas").to_pandas()
+    with tempfile.TemporaryDirectory(prefix="funnel_") as scratch:
+        partials = partition_apply(
+            ds.map_batches(keep, batch_format="pyarrow"),
+            "user_id",
+            kern,
+            num_parts=_SESSION_PARTS,
+            scratch_dir=scratch,
+        ).to_pandas()
     out = partials.groupby("stage", as_index=False).agg(n_users=("n_users_p", "sum"))
     out["event_type"] = _FUNNEL
     out = out[["stage", "event_type", "n_users"]].astype(
