@@ -382,3 +382,105 @@ def test_auto_split_detects_and_stripes(ray_session, tmp_path, monkeypatch):
     assert calls, "skewed partition was not detected"
     assert all(nstripes > 1 for _, nstripes in calls)
     assert len({p for p, _ in calls}) <= 2  # only the hot partition(s) split
+
+
+# --------------------------------------------------------------------------
+# r5: bucketed as-of (time-range sub-partitioning + boundary replication)
+# --------------------------------------------------------------------------
+
+
+def _asof_rand(n_left, n_right, n_keys, seed, hot_frac=0.0):
+    """Random as-of inputs with globally UNIQUE timestamps (documented tie
+    caveat) and an optional hot key holding ``hot_frac`` of all rows."""
+    rng = np.random.default_rng(seed)
+    ts = rng.permutation(n_left + n_right).astype(np.int64) * 1_000_000
+    lk = rng.integers(0, n_keys, n_left).astype(np.int64)
+    rk = rng.integers(0, n_keys, n_right).astype(np.int64)
+    if hot_frac:
+        lk[rng.random(n_left) < hot_frac] = 0
+        rk[rng.random(n_right) < hot_frac] = 0
+    left = _pdf(
+        k=lk,
+        t=pd.to_datetime(ts[:n_left], unit="us"),
+        lv=np.arange(n_left, dtype=np.int64),
+    )
+    right = _pdf(
+        k=rk,
+        t=pd.to_datetime(ts[n_left:], unit="us"),
+        rv=np.arange(n_right, dtype=np.int64) * 10,
+    )
+    return left, right
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("bucket_us", [7_000_000, 60_000_000])
+def test_asof_bucketed_matches_pandas(ray_session, direction, bucket_us):
+    left, right = _asof_rand(400, 300, 13, seed=5, hot_frac=0.3)
+    got = (
+        asof_join(
+            _ds(left), _ds(right), by="k", on="t", direction=direction,
+            num_parts=8, bucket_us=bucket_us,
+        )
+        .to_pandas()
+        .sort_values("lv")
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        left.sort_values("t"), right.sort_values("t"), on="t", by="k",
+        direction=direction,
+    ).sort_values("lv").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[list(want.columns)], want, check_dtype=False)
+
+
+def test_asof_bucketed_equals_default_path(ray_session):
+    left, right = _asof_rand(500, 500, 7, seed=9)
+    a = (
+        asof_join(_ds(left), _ds(right), by="k", on="t", num_parts=6)
+        .to_pandas().sort_values("lv").reset_index(drop=True)
+    )
+    b = (
+        asof_join(
+            _ds(left), _ds(right), by="k", on="t", num_parts=6,
+            bucket_us=11_000_000,
+        )
+        .to_pandas().sort_values("lv").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b[a.columns])
+
+
+def test_asof_bucketed_single_key_spreads_partitions(ray_session, tmp_path):
+    """The point of bucket_us: ONE key's history must not concentrate in
+    one exchange partition."""
+    import pyarrow.parquet as pq
+
+    left, right = _asof_rand(600, 600, 1, seed=3)  # every row the same key
+    scratch = str(tmp_path / "asofb")
+    os.makedirs(scratch)
+    got = asof_join(
+        _ds(left), _ds(right), by="k", on="t", num_parts=8,
+        bucket_us=20_000_000, scratch_dir=scratch,
+    ).to_pandas()
+    used = [
+        pq.read_table(d).num_rows
+        for d in glob.glob(scratch + "/left/jpart=*")
+    ]
+    assert len(used) >= 4, f"single key stuck in {len(used)} partitions"
+    assert max(used) < 600
+    want = pd.merge_asof(
+        left.sort_values("t"), right.sort_values("t"), on="t", by="k",
+        direction="backward",
+    )
+    g = got.sort_values("lv").reset_index(drop=True)
+    w = want.sort_values("lv").reset_index(drop=True)
+    pd.testing.assert_frame_equal(g[list(w.columns)], w, check_dtype=False)
+
+
+def test_asof_bucketed_empty_right(ray_session):
+    left, right = _asof_rand(50, 30, 4, seed=1)
+    got = asof_join(
+        _ds(left), _ds(right.iloc[:0]), by="k", on="t", num_parts=4,
+        bucket_us=10_000_000,
+    ).to_pandas()
+    assert len(got) == 50
+    assert got["rv"].isna().all()
+    assert set(got.columns) == {"k", "t", "lv", "rv"}

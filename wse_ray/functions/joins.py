@@ -461,6 +461,93 @@ def range_join(
     return j.map_batches(exact_filter, batch_format="pyarrow")
 
 
+def _ts_i64(col) -> np.ndarray:
+    """timestamp/int column -> int64 microseconds (vectorized)."""
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if pa.types.is_timestamp(col.type):
+        return (
+            col.cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+    return col.to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+def _pair_codes(l_key, r_key) -> tuple[np.ndarray, np.ndarray]:
+    """Consistent integer codes for the two sides' key columns (any key
+    type) via one dictionary-encode over their concatenation."""
+    import pyarrow.compute as pc
+
+    la = l_key.combine_chunks() if isinstance(l_key, pa.ChunkedArray) else l_key
+    ra = r_key.combine_chunks() if isinstance(r_key, pa.ChunkedArray) else r_key
+    if ra.type != la.type:
+        ra = ra.cast(la.type)
+    enc = pc.dictionary_encode(pa.chunked_array([la, ra]))
+    codes = enc.combine_chunks().indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return codes[: len(la)], codes[len(la):]
+
+
+def _asof_backward_indices(
+    l_code: np.ndarray, l_ts: np.ndarray, r_code: np.ndarray, r_ts: np.ndarray
+) -> np.ndarray:
+    """Vectorized backward-as-of probe: for each left row, the index into
+    the right arrays of the LATEST right row of the same code with
+    ``r_ts <= l_ts`` (ties -> last in input order), or -1 when none.
+
+    One composite-key searchsorted over the whole partition — no per-key
+    loop, no pandas: timestamps are rank-compressed against the union of
+    both sides' values so ``code * M + rank`` fits int64 for any
+    partition under ~3e9 rows (asserted)."""
+    nl, nr = len(l_code), len(r_code)
+    if nl == 0 or nr == 0:
+        return np.full(nl, -1, dtype=np.int64)
+    u = np.unique(np.concatenate([l_ts, r_ts]))
+    M = np.int64(len(u) + 1)
+    assert (nl + nr + 1) < 3_000_000_000, "partition too large for composite"
+    l_comp = l_code * M + np.searchsorted(u, l_ts)
+    r_comp = r_code * M + np.searchsorted(u, r_ts)
+    order = np.argsort(r_comp, kind="stable")
+    pos = np.searchsorted(r_comp[order], l_comp, side="right") - 1
+    idx = order[np.maximum(pos, 0)]
+    valid = (pos >= 0) & (r_code[idx] == l_code)
+    return np.where(valid, idx, -1)
+
+
+def _asof_assemble(
+    lt: pa.Table,
+    rt: pa.Table,
+    idx: np.ndarray,
+    drop_left: list[str],
+    drop_right: list[str],
+    right_suffix: str,
+) -> pa.Table:
+    """Left columns + gathered right payload (null where idx < 0 — Arrow
+    ``take`` with null indices keeps the right columns' REAL types on an
+    all-miss partition, where pandas would upgrade ints to float64)."""
+    import pyarrow.compute as pc
+
+    ind = pa.array(idx, type=pa.int64(), mask=idx < 0)
+    arrays, fields = [], []
+    for f in lt.schema:
+        if f.name in drop_left:
+            continue
+        arrays.append(lt[f.name].combine_chunks())
+        fields.append(f)
+    lnames = {f.name for f in fields}
+    for f in rt.schema:
+        if f.name in drop_right:
+            continue
+        name = f.name + right_suffix if f.name in lnames else f.name
+        arrays.append(pc.take(rt[f.name].combine_chunks(), ind))
+        fields.append(pa.field(name, f.type))
+    return pa.Table.from_arrays(arrays, schema=pa.schema(fields))
+
+
+_ASOF_TS = "__asof_ts"
+_ASOF_BKT = "__asof_bucket"
+
+
 def asof_join(
     left,
     right,
@@ -472,89 +559,142 @@ def asof_join(
     num_parts: int = 32,
     scratch_dir: str | None = None,
     right_suffix: str = "_r",
+    bucket_us: int | None = None,
 ):
     """As-of join: for each left row, the temporally nearest right row of
     the same ``by`` key (``backward`` = latest right ``on`` <= left ``on``;
     ``forward`` = earliest >=; left rows without a match keep nulls — LEFT
     semantics, like DuckDB's ``ASOF LEFT JOIN``).
 
-    Scale shape: both sides hash-partition by the ``by`` key through the
-    same storage exchange as ``partitioned_join`` (all rows of one key
-    land in one partition — the partitioning assumption), then one task
-    per partition runs a vectorized ``pandas.merge_asof`` over its
-    time-sorted slice.  Partition count bounds the per-task sort; a key
-    whose history alone overflows a worker needs time-range
-    sub-partitioning with boundary replication (not implemented — raise
-    ``num_parts`` first, the per-key history is usually the small side).
+    Scale shape, default (``bucket_us=None``): both sides hash-partition
+    by the ``by`` key through the same storage exchange as
+    ``partitioned_join``, then one task per partition runs the vectorized
+    Arrow/numpy composite-searchsorted kernel
+    (``_asof_backward_indices`` — no pandas round-trip).  Partition count
+    bounds the per-task working set, but a single key's FULL history must
+    fit one worker.
+
+    ``bucket_us=W`` lifts that per-key bound with TIME-RANGE
+    SUB-PARTITIONING + BOUNDARY REPLICATION: rows co-partition on
+    ``(key, floor(ts/W))`` so one task holds one key's W-wide slice, and
+    for every left-side (key, bucket) the latest right row from any
+    EARLIER bucket is replicated into that bucket as its boundary
+    candidate (computed from per-(key,bucket) right summaries — one small
+    key-partitioned pass; a summary can serve many target buckets).  Any
+    left row's true match is then either in-bucket or its bucket's
+    boundary row, both co-located; extra candidates from hash-colliding
+    buckets are real same-key rows that never beat the true max.  Forward
+    direction runs the same machinery on negated timestamps.
 
     Tie semantics: equal right timestamps within one key resolve to the
-    LAST row in (``on``, input-order) sort — pandas ``merge_asof``
-    behavior; engines differ here, so keep right-side timestamps unique
-    per key when exact parity with another system matters.
+    last row in (``on``, partition-read-order) — same class of behavior
+    as pandas ``merge_asof``; engines differ here, so keep right-side
+    timestamps unique per key when exact parity with another system
+    matters (the bucketed path additionally reduces summary ties
+    arbitrarily across batches).
     """
-    import pandas as pd
-    import ray
     import ray.data
 
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction={direction!r}")
+    if bucket_us is not None and bucket_us <= 0:
+        raise ValueError("bucket_us must be positive")
     rby = right_by or by
     ron = right_on or on
+    sign = -1 if direction == "forward" else 1
+
+    def prep_right(t: pa.Table) -> pa.Table:
+        """Rename right key/time columns to the left's names up front."""
+        names = [
+            by if c == rby else (on if c == ron else c) for c in t.column_names
+        ]
+        return t.rename_columns(names)
+
+    def add_ts(t: pa.Table, with_bucket: bool) -> pa.Table:
+        ts = sign * _ts_i64(t[on])
+        t = t.append_column(_ASOF_TS, pa.array(ts, pa.int64()))
+        if with_bucket:
+            t = t.append_column(
+                _ASOF_BKT, pa.array(ts // bucket_us, pa.int64())
+            )
+        return t
 
     owns = scratch_dir is None
     scratch = scratch_dir or tempfile.mkdtemp(prefix="asof_", dir=scratch_base())
     ldir, rdir = os.path.join(scratch, "left"), os.path.join(scratch, "right")
+    bucketed = bucket_us is not None
+    part_keys = [by, _ASOF_BKT] if bucketed else [by]
     try:
         if not _stage_done(ldir):
             _fresh_stage(ldir)
             left.map_batches(
-                _AssignJoinPart([by], num_parts), batch_format="pyarrow"
+                lambda t: add_ts(t, bucketed), batch_format="pyarrow"
+            ).map_batches(
+                _AssignJoinPart(part_keys, num_parts), batch_format="pyarrow"
             ).write_parquet(ldir, partition_cols=["jpart"], compression="zstd")
             _stage_mark(ldir)
         if not _stage_done(rdir):
             _fresh_stage(rdir)
-            right.map_batches(
-                _AssignJoinPart([rby], num_parts), batch_format="pyarrow"
+            right.map_batches(prep_right, batch_format="pyarrow").map_batches(
+                lambda t: add_ts(t, bucketed), batch_format="pyarrow"
+            ).map_batches(
+                _AssignJoinPart(part_keys, num_parts), batch_format="pyarrow"
             ).write_parquet(rdir, partition_cols=["jpart"], compression="zstd")
             _stage_mark(rdir)
 
+        helper_fields = [pa.field(_ASOF_TS, pa.int64())] + (
+            [pa.field(_ASOF_BKT, pa.int64())] if bucketed else []
+        )
         lschema = _side_schema(ldir, left)
+        if _ASOF_TS not in lschema.names:
+            # fully-empty side: no fragments, fallback came from the raw
+            # Dataset schema — append the helper columns the exchange
+            # would have written
+            lschema = pa.schema(list(lschema) + helper_fields)
         rschema = _side_schema(rdir, right)
+        if _ASOF_TS not in rschema.names:
+            flds = [
+                pa.field(
+                    by if f.name == rby else (on if f.name == ron else f.name),
+                    f.type,
+                )
+                for f in rschema
+            ]
+            rschema = pa.schema(flds + helper_fields)
 
-        lfields = {f.name: f.type for f in lschema}
-        rfields = {}
-        for f in rschema:
-            name = by if f.name == rby else (on if f.name == ron else f.name)
-            rfields[name] = f.type
+        bdir = os.path.join(scratch, "boundary")
+        if bucketed:
+            _asof_write_boundaries(
+                ldir, rdir, bdir, lschema, rschema, by, num_parts, scratch
+            )
+
+        helper_cols = [_ASOF_TS] + ([_ASOF_BKT] if bucketed else [])
 
         def asof_part(batch: pa.Table) -> pa.Table:
             part = int(batch["part"][0].as_py())
-            lt = _read_part(ldir, part, lschema).to_pandas()
-            rt = _read_part(rdir, part, rschema).to_pandas()
-            if rby != by:
-                rt = rt.rename(columns={rby: by})
-            if ron != on:
-                rt = rt.rename(columns={ron: on})
-            out = pd.merge_asof(
-                lt.sort_values(on, kind="stable"),
-                rt.sort_values(on, kind="stable"),
-                on=on,
-                by=by,
-                direction=direction,
-                suffixes=("", right_suffix),
+            lt = _read_part(ldir, part, lschema)
+            rt = _read_part(rdir, part, rschema)
+            if bucketed:
+                bt = _read_part(bdir, part, rschema)
+                if bt.num_rows:
+                    rt = pa.concat_tables([rt, bt], promote_options="none")
+            l_code, r_code = _pair_codes(lt[by], rt[by]) if (
+                lt.num_rows and rt.num_rows
+            ) else (np.zeros(lt.num_rows, np.int64), np.zeros(0, np.int64))
+            idx = _asof_backward_indices(
+                l_code,
+                lt[_ASOF_TS].to_numpy(zero_copy_only=False).astype(np.int64)
+                if lt.num_rows else np.zeros(0, np.int64),
+                r_code,
+                rt[_ASOF_TS].to_numpy(zero_copy_only=False).astype(np.int64)
+                if rt.num_rows else np.zeros(0, np.int64),
             )
-            # an all-miss partition upgrades right int columns to float64
-            # (NaN); pin every partition to ONE output schema so the
-            # resulting Dataset's blocks agree
-            arrays, fields = [], []
-            for c in out.columns:
-                t = lfields.get(c) or rfields.get(c)
-                if t is None and c.endswith(right_suffix):
-                    t = rfields.get(c[: -len(right_suffix)])
-                arr = pa.Array.from_pandas(out[c], type=t)
-                arrays.append(arr)
-                fields.append(pa.field(c, arr.type))
-            return pa.Table.from_arrays(arrays, schema=pa.schema(fields))
+            return _asof_assemble(
+                lt, rt, idx,
+                drop_left=helper_cols,
+                drop_right=[by, on, *helper_cols],
+                right_suffix=right_suffix,
+            )
 
         joined = ray.data.from_items(
             [{"part": i} for i in range(num_parts)]
@@ -565,3 +705,126 @@ def asof_join(
     finally:
         if owns:
             shutil.rmtree(scratch, ignore_errors=True)
+
+
+def _asof_write_boundaries(
+    ldir: str,
+    rdir: str,
+    bdir: str,
+    lschema: pa.Schema,
+    rschema: pa.Schema,
+    by: str,
+    num_parts: int,
+    scratch: str,
+) -> None:
+    """Bucketed as-of, boundary pass: for every LEFT (key, bucket) emit
+    the latest right row from any strictly-earlier bucket of that key,
+    re-tagged with the target bucket and exchanged into the target's
+    ``(key, bucket)`` partition.
+
+    Small-data pass: per-batch right summaries (argmax-ts row per
+    (key, bucket)) and distinct left (key, bucket) pairs hash-partition
+    by KEY alone, one task per key-partition reduces summaries exactly
+    and probes each left pair against its key's summary buckets with a
+    composite searchsorted — rows handled here are bounded by the number
+    of distinct (key, bucket) cells, never by event count."""
+    import ray.data
+
+    sdir = os.path.join(scratch, "summaries")
+    pdir = os.path.join(scratch, "left_pairs")
+
+    def right_summaries(batch: pa.Table) -> pa.Table:
+        t = _read_part(rdir, int(batch["part"][0].as_py()), rschema)
+        if t.num_rows == 0:
+            return rschema.empty_table()
+        code, _ = _pair_codes(t[by], t[by].slice(0, 0))
+        bkt = t[_ASOF_BKT].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = t[_ASOF_TS].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((np.arange(len(code)), ts, bkt, code))
+        c, b = code[order], bkt[order]
+        last = np.concatenate((c[1:] != c[:-1], [True])) | np.concatenate(
+            (b[1:] != b[:-1], [True])
+        )
+        return t.take(pa.array(order[last], pa.int64()))
+
+    def left_pairs(batch: pa.Table) -> pa.Table:
+        t = _read_part(ldir, int(batch["part"][0].as_py()), lschema)
+        if t.num_rows == 0:
+            return pa.schema(
+                [lschema.field(by), pa.field(_ASOF_BKT, pa.int64())]
+            ).empty_table()
+        code, _ = _pair_codes(t[by], t[by].slice(0, 0))
+        bkt = t[_ASOF_BKT].to_numpy(zero_copy_only=False).astype(np.int64)
+        comp = np.stack([code, bkt], axis=1)
+        _, first_idx = np.unique(comp, axis=0, return_index=True)
+        return t.select([by, _ASOF_BKT]).take(pa.array(first_idx, pa.int64()))
+
+    part_specs = [{"part": i} for i in range(num_parts)]
+    if not _stage_done(sdir):
+        _fresh_stage(sdir)
+        ray.data.from_items(part_specs).map_batches(
+            right_summaries, batch_size=1, batch_format="pyarrow"
+        ).map_batches(
+            _AssignJoinPart([by], num_parts), batch_format="pyarrow"
+        ).write_parquet(sdir, partition_cols=["jpart"], compression="zstd")
+        _stage_mark(sdir)
+    if not _stage_done(pdir):
+        _fresh_stage(pdir)
+        ray.data.from_items(part_specs).map_batches(
+            left_pairs, batch_size=1, batch_format="pyarrow"
+        ).map_batches(
+            _AssignJoinPart([by], num_parts), batch_format="pyarrow"
+        ).write_parquet(pdir, partition_cols=["jpart"], compression="zstd")
+        _stage_mark(pdir)
+
+    pschema = pa.schema(
+        [rschema.field(by), pa.field(_ASOF_BKT, pa.int64())]
+    )
+
+    def boundary_task(batch: pa.Table) -> pa.Table:
+        part = int(batch["part"][0].as_py())
+        st = _read_part(sdir, part, rschema)
+        pt = _read_part(pdir, part, pschema)
+        if st.num_rows == 0 or pt.num_rows == 0:
+            return rschema.empty_table()
+        s_code, p_code = _pair_codes(st[by], pt[by])
+        s_bkt = st[_ASOF_BKT].to_numpy(zero_copy_only=False).astype(np.int64)
+        s_ts = st[_ASOF_TS].to_numpy(zero_copy_only=False).astype(np.int64)
+        p_bkt = pt[_ASOF_BKT].to_numpy(zero_copy_only=False).astype(np.int64)
+        # exact cross-batch reduce: last (max-ts) summary per (code, bucket)
+        order = np.lexsort((np.arange(len(s_code)), s_ts, s_bkt, s_code))
+        c, b = s_code[order], s_bkt[order]
+        last = np.concatenate((c[1:] != c[:-1], [True])) | np.concatenate(
+            (b[1:] != b[:-1], [True])
+        )
+        keep = order[last]
+        c, b = s_code[keep], s_bkt[keep]
+        # probe: greatest summary bucket STRICTLY below each left bucket
+        u = np.unique(np.concatenate([b, p_bkt]))
+        M = np.int64(len(u) + 1)
+        s_comp = c * M + np.searchsorted(u, b)
+        p_comp = p_code * M + np.searchsorted(u, p_bkt)
+        so = np.argsort(s_comp, kind="stable")
+        pos = np.searchsorted(s_comp[so], p_comp, side="left") - 1
+        idx = so[np.maximum(pos, 0)]
+        valid = (pos >= 0) & (c[idx] == p_code)
+        take = keep[idx[valid]]
+        out = st.take(pa.array(take, pa.int64()))
+        # re-tag with the TARGET bucket so the exchange lands each row in
+        # its consumer's (key, bucket) partition
+        i = out.schema.get_field_index(_ASOF_BKT)
+        out = out.set_column(
+            i, _ASOF_BKT, pa.array(p_bkt[valid], pa.int64())
+        )
+        return out.select(rschema.names)
+
+    if not _stage_done(bdir):
+        _fresh_stage(bdir)
+        ray.data.from_items(
+            [{"part": i} for i in range(num_parts)]
+        ).map_batches(
+            boundary_task, batch_size=1, batch_format="pyarrow"
+        ).map_batches(
+            _AssignJoinPart([by, _ASOF_BKT], num_parts), batch_format="pyarrow"
+        ).write_parquet(bdir, partition_cols=["jpart"], compression="zstd")
+        _stage_mark(bdir)
