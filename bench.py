@@ -250,6 +250,37 @@ def main() -> None:
     qbench = run_queries_bench(f"{BENCH_OUT}_index_{NUM_CPUS}")
     timings["bm25_queries"] = qbench["sec"]
 
+    snippet_bench = None
+    if os.environ.get("WSE_BENCH_BUILD_ONLY") != "1":
+        # snippet stage at index scale: top-20 of the 40-query set through
+        # all six reference snippet algorithms (N1-N6) over the 50k corpus
+        from wse_ray.fixtures import make_queries
+        from wse_ray.query.scorer import SearchEngine
+        from wse_ray.query.snippets_stage import attach_snippets
+        from wse_ray.sources.corpus import read_corpus
+
+        eng = SearchEngine(f"{BENCH_OUT}_index_{NUM_CPUS}")
+        sqs = [dict(q, k=20) for q in make_queries()]
+        res = eng.search_batch(sqs)
+        res["query"] = res["query_id"].map({q["query_id"]: q["query"] for q in sqs})
+        corpus_ds = read_corpus(corpus, columns=["text"])
+        t0 = time.perf_counter()
+        per_algo = {}
+        n_snips = 0
+        for algo in ("linear", "prefix", "bm25", "vector", "keyword", "weight"):
+            ta = time.perf_counter()
+            out_rows = attach_snippets(res, eng, corpus_ds, algo=algo, use_index_stats=True)
+            per_algo[algo] = round(time.perf_counter() - ta, 3)
+            n_snips += len(out_rows)
+        snip_sec = time.perf_counter() - t0
+        timings["snippets"] = round(snip_sec, 3)
+        snippet_bench = {
+            "queries": len(sqs),
+            "snippets": n_snips,
+            "snippets_per_sec": round(n_snips / snip_sec, 1),
+            "per_algo_sec": per_algo,
+        }
+
     html_build = None
     if os.environ.get("WSE_BENCH_BUILD_ONLY") != "1":
         # from-html build: same corpus through the extraction stage — the
@@ -355,6 +386,8 @@ def main() -> None:
     }
     if sharded is not None:
         out["sharded_bench"] = sharded
+    if snippet_bench is not None:
+        out["snippet_bench"] = snippet_bench
     print(json.dumps(out))
     ray.shutdown()
 
@@ -460,8 +493,90 @@ def scaling() -> None:
     )
 
 
+def ab() -> None:
+    """Interleaved A/B of one queries() pipeline between two git refs.
+
+    ``python bench.py --ab <ref_old> <ref_new> [--pipeline name]``
+    (ref "." = the current working tree).  Per-round bench deltas on this
+    burstable host are confounded by the window's burst level; this mode
+    answers "did THIS change make pipeline X faster" by running both
+    versions alternately in ONE window, best-of-N fresh processes each
+    (no warm run — several pipelines memoize engines per process, and a
+    warm call would measure the cache).  Each ref runs from its own git
+    worktree under /tmp with PYTHONPATH pinned to that tree.
+    """
+    args = sys.argv[sys.argv.index("--ab") + 1:]
+    refs = args[:2]
+    if len(refs) != 2:
+        raise SystemExit("usage: bench.py --ab <ref_old> <ref_new> [--pipeline name]")
+    pipeline = args[args.index("--pipeline") + 1] if "--pipeline" in args else (
+        "join_priority_revenue"
+    )
+    reps = int(os.environ.get("WSE_AB_REPS", "3"))
+
+    trees = {}
+    for ref in refs:
+        if ref == ".":
+            trees[ref] = REPO
+            continue
+        wt = f"/tmp/wse_ab_{ref.replace('/', '_')}"
+        if not os.path.isdir(wt):
+            subprocess.run(
+                ["git", "-C", REPO, "worktree", "add", "--detach", wt, ref],
+                check=True, capture_output=True,
+            )
+        trees[ref] = wt
+
+    runner = (
+        "import json,os,sys,time\n"
+        "import ray\n"
+        "ray.init(address='local',num_cpus=int(os.environ.get('RAY_GRAFT_CPUS','32')),"
+        "include_dashboard=False,logging_level='ERROR')\n"
+        "from ray.data import DataContext\n"
+        "DataContext.get_current().enable_progress_bars=False\n"
+        "import __ray_entry__ as e\n"
+        "q=e.queries()[os.environ['WSE_AB_PIPELINE']]\n"
+        "sf=os.environ.get('GRAFT_SF_DIR','/root/testdata/sf0.1')\n"
+        "t0=time.perf_counter();q(sf)\n"
+        "print('WSE_AB_RESULT '+json.dumps({'sec':round(time.perf_counter()-t0,3)}))\n"
+        "ray.shutdown()\n"
+    )
+
+    def run_one(ref: str) -> float:
+        tree = trees[ref]
+        env = dict(os.environ, PYTHONPATH=tree, WSE_AB_PIPELINE=pipeline)
+        p = subprocess.run(
+            [sys.executable, "-c", runner], env=env, cwd=tree,
+            capture_output=True, text=True, check=True,
+        )
+        for line in p.stdout.splitlines():
+            if line.startswith("WSE_AB_RESULT "):
+                return json.loads(line[len("WSE_AB_RESULT "):])["sec"]
+        raise RuntimeError(f"no result line from {ref}:\n{p.stderr[-2000:]}")
+
+    secs: dict[str, list[float]] = {r: [] for r in refs}
+    for _ in range(reps):
+        for ref in refs:  # interleaved: both sides see the same burst level
+            secs[ref].append(run_one(ref))
+    best = {r: min(s) for r, s in secs.items()}
+    print(
+        json.dumps(
+            {
+                "pipeline": pipeline,
+                "refs": refs,
+                "reps": reps,
+                "secs": secs,
+                "best": best,
+                "speedup_old_over_new": round(best[refs[0]] / best[refs[1]], 3),
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
+    elif "--ab" in sys.argv:
+        ab()
     else:
         main()

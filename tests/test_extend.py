@@ -720,3 +720,142 @@ def test_refresh_bounds_sweeps_leaked_staging_on_early_return(
     os.makedirs(leaked)
     refresh_bounds(idx)  # stale_ubs unset -> early return, but must sweep
     assert not glob.glob(os.path.join(idx, "bounds_refresh_N*"))
+
+
+def _search_all(eng, k=10, nq=10):
+    out = []
+    for q in make_queries()[:nq]:
+        for mode in ("disjunctive", "conjunctive"):
+            out.append((q["query"], mode, eng.search(q["query"], mode, k)))
+    return out
+
+
+def test_consolidate_generations_bit_identical(ray_session, tmp_path_factory):
+    """Three term-layout generations -> consolidate -> ONE merged
+    generation; results bit-identical to the full rebuild, old generation
+    partitions gone, base partitions byte-untouched."""
+    import glob as _glob
+
+    from wse_ray.index.extend import consolidate_generations
+
+    d = str(tmp_path_factory.mktemp("cons_corpus"))
+    paths = write_corpus_parquet(d, 400, n_files=8)
+    full = str(tmp_path_factory.mktemp("cons_full"))
+    inc = str(tmp_path_factory.mktemp("cons_inc"))
+    cfg = BuildConfig(num_partitions=4, heavy_df_threshold=60, heavy_subparts=2)
+    build_index(d, full, cfg)
+    build_index(paths[:5], inc, cfg)
+    for i in (5, 6, 7):
+        extend_index(inc, [paths[i]])
+    manifest = json.load(open(os.path.join(inc, "manifest.json")))
+    assert len(manifest["extensions"]) == 3
+    old_gen_parts = {p for e in manifest["extensions"] for p in e["parts"]}
+
+    base_ids = {
+        int(os.path.basename(p).split("=")[1])
+        for p in _glob.glob(os.path.join(inc, "parts", "part=*"))
+    } - old_gen_parts
+
+    def base_sig():
+        out = {}
+        for pid in base_ids:
+            d2 = os.path.join(inc, "parts", f"part={pid:05d}")
+            for f in sorted(os.listdir(d2)):
+                st = os.stat(os.path.join(d2, f))
+                out[(pid, f)] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    before_sig = base_sig()
+    e_full = SearchEngine(full)
+    want = _search_all(e_full)
+
+    manifest = consolidate_generations(inc)
+    assert len(manifest["extensions"]) == 1
+    merged = manifest["extensions"][0]
+    assert merged["consolidated_from"] == [1, 2, 3]
+    assert merged["delta_stats"]["n"] == 150  # 3 x 50-doc files
+    live_ids = {
+        int(os.path.basename(p).split("=")[1])
+        for p in _glob.glob(os.path.join(inc, "parts", "part=*"))
+    }
+    assert not (live_ids & old_gen_parts), "old generation parts must be gone"
+    assert set(merged["parts"]) <= live_ids
+    assert base_sig() == before_sig  # base parts byte-untouched
+    # no leftover journal/work
+    assert not os.path.exists(os.path.join(inc, "consolidate_pending.json"))
+    assert not os.path.exists(os.path.join(inc, "consolidate_work"))
+
+    e_inc = SearchEngine(inc)
+    assert e_inc.stats == e_full.stats
+    got = _search_all(e_inc)
+    assert got == want
+    # merged generation is encoded at the CURRENT stats -> refresh_bounds
+    # skips it (fresh set) and pruned mode works after refresh
+    refresh_bounds(inc)
+    assert _search_all(SearchEngine(inc)) == want
+
+    # idempotent no-op on a single remaining generation
+    assert len(consolidate_generations(inc)["extensions"]) == 1
+
+
+def test_extend_max_generations_auto_consolidates(
+    ray_session, tmp_path_factory
+):
+    """The max_generations knob: the 3rd extension over the cap triggers
+    consolidation inside extend_index; serving equals the full rebuild."""
+    d = str(tmp_path_factory.mktemp("maxg_corpus"))
+    paths = write_corpus_parquet(d, 300, n_files=6)
+    full = str(tmp_path_factory.mktemp("maxg_full"))
+    inc = str(tmp_path_factory.mktemp("maxg_inc"))
+    cfg = BuildConfig(num_partitions=3)
+    build_index(d, full, cfg)
+    build_index(paths[:3], inc, cfg)
+    for i in (3, 4, 5):
+        manifest = extend_index(inc, [paths[i]], max_generations=2)
+    assert len([e for e in manifest["extensions"] if e["parts"]]) <= 2
+    e_full, e_inc = SearchEngine(full), SearchEngine(inc)
+    assert e_inc.stats == e_full.stats
+    assert _search_all(e_inc) == _search_all(e_full)
+
+
+def test_consolidate_crash_resume(ray_session, tmp_path_factory, monkeypatch):
+    """A crash mid-consolidation (after the first slot commit) must resume
+    through the journal — from extend_index's entry hook — to the same
+    final state."""
+    import wse_ray.index.extend as ext
+
+    d = str(tmp_path_factory.mktemp("cc_corpus"))
+    paths = write_corpus_parquet(d, 300, n_files=6)
+    full = str(tmp_path_factory.mktemp("cc_full"))
+    inc = str(tmp_path_factory.mktemp("cc_inc"))
+    cfg = BuildConfig(num_partitions=3)
+    build_index(d, full, cfg)
+    build_index(paths[:3], inc, cfg)
+    extend_index(inc, [paths[3]])
+    extend_index(inc, [paths[4]])
+
+    real_touch = ext._touch
+    seen = []
+
+    def crashing_touch(path):
+        if "slot-" in os.path.basename(path):
+            seen.append(path)
+            if len(seen) == 2:
+                raise RuntimeError("simulated crash mid-consolidation")
+        real_touch(path)
+
+    monkeypatch.setattr(ext, "_touch", crashing_touch)
+    with pytest.raises(RuntimeError, match="mid-consolidation"):
+        ext.consolidate_generations(inc)
+    monkeypatch.setattr(ext, "_touch", real_touch)
+    assert os.path.exists(os.path.join(inc, "consolidate_pending.json"))
+
+    # resume happens implicitly on the next extension
+    extend_index(inc, [paths[5]])
+    manifest = json.load(open(os.path.join(inc, "manifest.json")))
+    kinds = [e.get("consolidated_from") for e in manifest["extensions"]]
+    assert any(k == [1, 2] for k in kinds), kinds
+    assert not os.path.exists(os.path.join(inc, "consolidate_pending.json"))
+    e_full, e_inc = SearchEngine(full), SearchEngine(inc)
+    assert e_inc.stats == e_full.stats
+    assert _search_all(e_inc) == _search_all(e_full)

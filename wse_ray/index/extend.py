@@ -44,7 +44,11 @@ Two strategies, chosen by the index's ``partition_by`` layout:
   ``refresh_bounds`` re-bakes every bound at the new stats.  Cost:
   tokenize + exchange + encode of the DELTA only — the per-generation
   price is one extra (seek+read) per queried term per generation;
-  ``compact_index`` consolidates generations when fragmentation matters.
+  ``consolidate_generations`` re-merges generations at O(sum of deltas)
+  when fragmentation matters (auto-triggered by ``extend_index``'s
+  ``max_generations`` knob; latency-vs-generations measured in
+  BASELINE.md), and ``compact_index`` remains the full tombstone-
+  removing rebuild.
 
 Both strategies serve BIT-IDENTICAL search results to a from-scratch
 rebuild of the concatenated corpus (tests/test_extend.py pins this for
@@ -333,6 +337,7 @@ def extend_index(
     corpus: str | list[str] | Callable[[], "ray.data.Dataset"],  # noqa: F821
     delta_partitions: int | None = None,
     from_html: bool = False,
+    max_generations: int | None = None,
 ) -> dict:
     """Ingest ``corpus`` as the next generation of an existing index.
 
@@ -342,13 +347,20 @@ def extend_index(
     ``delta_partitions`` (doc layout only) overrides the number of new
     partitions; default keeps delta partition sizes ~equal to base ones.
     ``from_html=True`` extracts the text from the delta's html column
-    (same byte-exact stage as build_index).  Returns the updated manifest.
+    (same byte-exact stage as build_index).  ``max_generations`` (term
+    layout): when the number of recorded extension generations exceeds
+    it after this ingest, ``consolidate_generations`` runs automatically
+    — the auto-compaction policy for the per-generation query cost
+    (one extra seek+decode per queried term per generation; measured in
+    BASELINE.md's latency-vs-generations table).  Returns the updated
+    manifest.
     """
     import time
 
     import ray
     import ray.data
 
+    finish_pending_consolidation(index_dir)
     timings: dict[str, float] = {}
     manifest_path = os.path.join(index_dir, "manifest.json")
     manifest = _load_json(manifest_path)
@@ -719,6 +731,12 @@ def extend_index(
     manifest["stats"] = new_stats
     _dump_json(manifest, manifest_path)
     _touch(os.path.join(gen_dir, "done"))
+    if (
+        max_generations is not None
+        and cfg.partition_by == "term"
+        and sum(1 for e in manifest["extensions"] if e["parts"]) > max_generations
+    ):
+        manifest = consolidate_generations(index_dir)
     return manifest
 
 
@@ -848,6 +866,7 @@ def refresh_bounds(index_dir: str) -> None:
     extension (clears ``stale_ubs``; pruned mode is exact again).  Uses the
     staged encode + rename swap, so serving never observes a missing
     partition dir; the staging root is removed on completion."""
+    finish_pending_consolidation(index_dir)
     manifest_path = os.path.join(index_dir, "manifest.json")
     manifest = _load_json(manifest_path)
     if not manifest.get("stale_ubs"):
@@ -882,3 +901,173 @@ def refresh_bounds(index_dir: str) -> None:
     _dump_json(manifest, manifest_path)
     for d in glob.glob(os.path.join(index_dir, "bounds_refresh_N*")):
         shutil.rmtree(d, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# generation consolidation (term layout): merge extension generations
+# --------------------------------------------------------------------------
+
+_PENDING = "consolidate_pending.json"
+
+
+def _gen_part0s(manifest: dict, cfg: BuildConfig) -> list[tuple[dict, int]]:
+    """[(extension record, its part0)] for a term-layout index — the same
+    ceiling walk ``_live_max_part`` does, so slot = part_id - part0 is the
+    base assigner's partition slot for every generation."""
+    base_max = (
+        cfg.num_partitions
+        + int(manifest.get("heavy_terms", 0)) * cfg.heavy_subparts
+        - 1
+    )
+    out, ceiling = [], base_max
+    for e in manifest.get("extensions", []):
+        out.append((e, ceiling + 1))
+        if e["parts"]:
+            ceiling = max(ceiling, max(e["parts"]))
+    return out
+
+
+def finish_pending_consolidation(index_dir: str) -> None:
+    """Resume a crashed ``consolidate_generations`` before any operation
+    that sweeps orphan partitions or re-encodes from the postings
+    exchange (extend_index, refresh_bounds call this first)."""
+    if os.path.exists(os.path.join(index_dir, _PENDING)):
+        consolidate_generations(index_dir)
+
+
+def consolidate_generations(index_dir: str) -> dict:
+    """Merge ALL of a term-layout index's extension generations into ONE.
+
+    Each extension generation adds one segment per touched partition
+    slot, costing every queried term one extra (seek + decode) per
+    generation (measured: tools/stress_generations.py, BASELINE.md
+    latency-vs-generations table).  This op re-merges them at
+    O(sum of delta postings) — base partitions are never read or
+    rewritten: for every partition SLOT, the generations' postings
+    exchanges concat (hardlink) into one brand-new partition id and
+    re-encode at the CURRENT stats; old generation dirs are then removed
+    and the manifest records a single merged generation.
+
+    OFFLINE maintenance op (same contract as ``compact_index``): do not
+    serve from the index while it runs — mid-run, a slot's delta
+    postings are briefly in neither the old nor the new partition.
+    Crash-RESUMABLE: the plan (generation ids, new partition ids) is
+    journaled to ``consolidate_pending.json`` first and every slot
+    carries a done marker; ``extend_index`` and ``refresh_bounds``
+    finish a pending consolidation before touching the index.  Search
+    results are bit-identical before and after (pinned by
+    tests/test_extend.py).
+    """
+    manifest_path = os.path.join(index_dir, "manifest.json")
+    manifest = _load_json(manifest_path)
+    cfg = BuildConfig(**manifest["config"])
+    if cfg.partition_by != "term":
+        raise ValueError("consolidate_generations applies to term-layout indexes")
+    pending_path = os.path.join(index_dir, _PENDING)
+    work = os.path.join(index_dir, "consolidate_work")
+    exts = manifest.get("extensions", [])
+    live_gens = {e["gen"] for e in exts}
+
+    if os.path.exists(pending_path):
+        plan = _load_json(pending_path)
+        if not set(plan["gens"]) & live_gens:
+            # crashed AFTER the manifest commit: just clean up
+            shutil.rmtree(work, ignore_errors=True)
+            os.remove(pending_path)
+            return manifest
+    else:
+        gens = [(e, p0) for e, p0 in _gen_part0s(manifest, cfg) if e["parts"]]
+        if len(gens) < 2:
+            return manifest
+        new_part0 = _live_max_part(manifest, cfg) + 1
+        slot_srcs: dict[str, list[int]] = {}
+        for e, p0 in gens:
+            for pid in e["parts"]:
+                slot_srcs.setdefault(str(pid - p0), []).append(pid)
+        plan = {
+            "gens": [e["gen"] for e, _ in gens],
+            "new_part0": new_part0,
+            "slot_srcs": slot_srcs,
+            "merged": {
+                "gen": max(e["gen"] for e, _ in gens),
+                "kind": "term",
+                "delta_stats": {
+                    "n": sum(e["delta_stats"]["n"] for e, _ in gens),
+                    "sum_dl": sum(e["delta_stats"]["sum_dl"] for e, _ in gens),
+                    "max_dl": max(e["delta_stats"]["max_dl"] for e, _ in gens),
+                },
+                "doc_lo": min(e["doc_lo"] for e, _ in gens),
+                "doc_hi": max(e["doc_hi"] for e, _ in gens),
+                "consolidated_from": [e["gen"] for e, _ in gens],
+            },
+        }
+        tmp = pending_path + ".tmp"
+        _dump_json(plan, tmp)
+        os.rename(tmp, pending_path)  # the journal IS the commit point
+
+    stats = _load_json(os.path.join(index_dir, "stats.json"))
+    postings_dir = os.path.join(index_dir, "postings")
+    parts_root = os.path.join(index_dir, "parts")
+    os.makedirs(work, exist_ok=True)
+    new_parts: list[int] = []
+    for slot_str in sorted(plan["slot_srcs"], key=int):
+        old_ids = plan["slot_srcs"][slot_str]
+        new_id = plan["new_part0"] + int(slot_str)
+        new_parts.append(new_id)
+        marker = os.path.join(work, f"slot-{new_id:05d}.done")
+        if _flag(marker):
+            continue
+        new_postings = os.path.join(postings_dir, f"part={new_id}")
+        new_part = os.path.join(parts_root, f"part={new_id:05d}")
+        stage_p = os.path.join(work, "stage_postings", f"part={new_id}")
+        # C1: merged postings exchange, hardlinked from the generations'
+        # (same filesystem; falls back to copy), gen-prefixed filenames
+        if not os.path.isdir(new_postings):
+            if not _flag(os.path.join(stage_p, "_SUCCESS")):
+                shutil.rmtree(stage_p, ignore_errors=True)
+                os.makedirs(stage_p)
+                for pid in old_ids:
+                    src = os.path.join(postings_dir, f"part={pid}")
+                    if not os.path.isdir(src):
+                        continue
+                    for e in sorted(os.scandir(src), key=lambda e: e.name):
+                        if not e.name.endswith(".parquet"):
+                            continue
+                        dst = os.path.join(stage_p, f"g{pid}_{e.name}")
+                        try:
+                            os.link(e.path, dst)
+                        except OSError:
+                            shutil.copyfile(e.path, dst)
+                _touch(os.path.join(stage_p, "_SUCCESS"))
+            # C2: encode the merged slot at the CURRENT stats (atomic
+            # tmp+rename inside _encode_part_task's encode_partition)
+            if not _flag(os.path.join(work, "parts", f"part={new_id:05d}", "_SUCCESS")):
+                spec = pa.table(
+                    {"src": [stage_p], "part": [new_id]}
+                )
+                _encode_part_task(spec, out_dir=work, stats=stats)
+        # C3 (slot commit, offline window): old dirs out, merged dirs in
+        for pid in old_ids:
+            shutil.rmtree(os.path.join(parts_root, f"part={pid:05d}"), ignore_errors=True)
+            shutil.rmtree(os.path.join(postings_dir, f"part={pid}"), ignore_errors=True)
+        if not os.path.isdir(new_part):
+            os.rename(os.path.join(work, "parts", f"part={new_id:05d}"), new_part)
+        if not os.path.isdir(new_postings):
+            # strip the staging marker: exchange dirs never carry _SUCCESS
+            try:
+                os.remove(os.path.join(stage_p, "_SUCCESS"))
+            except FileNotFoundError:
+                pass
+            os.rename(stage_p, new_postings)
+        _touch(marker)
+
+    # C4: single-file manifest commit, then cleanup
+    merged = dict(plan["merged"], parts=new_parts)
+    manifest["extensions"] = [
+        e for e in exts if e["gen"] not in set(plan["gens"])
+    ] + [merged]
+    manifest["extensions"].sort(key=lambda e: e["gen"])
+    _dump_json(manifest, manifest_path)
+    shutil.rmtree(work, ignore_errors=True)
+    os.remove(pending_path)
+    return manifest
