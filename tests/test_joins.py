@@ -484,3 +484,35 @@ def test_asof_bucketed_empty_right(ray_session):
     assert len(got) == 50
     assert got["rv"].isna().all()
     assert set(got.columns) == {"k", "t", "lv", "rv"}
+
+
+def test_asof_kernel_hypothesis_matches_bruteforce():
+    """Property sweep of the composite-searchsorted backward kernel vs a
+    per-row brute force, including duplicate timestamps (tie -> LAST in
+    input order) and keys missing from either side."""
+    from hypothesis import given, settings, strategies as st
+
+    from wse_ray.functions.joins import _asof_backward_indices
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(st.tuples(st.integers(0, 4), st.integers(-50, 50)), max_size=40),
+        st.lists(st.tuples(st.integers(0, 4), st.integers(-50, 50)), max_size=40),
+    )
+    def check(left, right):
+        l_code = np.array([k for k, _ in left], dtype=np.int64)
+        l_ts = np.array([t for _, t in left], dtype=np.int64)
+        r_code = np.array([k for k, _ in right], dtype=np.int64)
+        r_ts = np.array([t for _, t in right], dtype=np.int64)
+        got = _asof_backward_indices(l_code, l_ts, r_code, r_ts)
+        for i in range(len(left)):
+            best = -1
+            for j in range(len(right)):  # later j wins ties: last-in-order
+                if r_code[j] == l_code[i] and r_ts[j] <= l_ts[i]:
+                    if best < 0 or r_ts[j] > r_ts[best] or (
+                        r_ts[j] == r_ts[best] and j > best
+                    ):
+                        best = j
+            assert got[i] == best, (i, left, right)
+
+    check()
