@@ -1028,39 +1028,65 @@ def q_embedding_centroid(sf_dir: str) -> pd.DataFrame:
 def q_dedup_embedding(sf_dir: str) -> pd.DataFrame:
     """Same-label cosine >= 0.4 pairs (label is the blocking key).
 
-    Exact blocked pair stage: groupby(label) shuffles only the vectors and
-    each group's all-pairs matmul is bounded by the block size — no full-
-    matrix broadcast, nothing corpus-sized on the driver.  NOTE this gated
-    variant uses Ray Data's in-memory groupby + pandas map_groups — the
-    one in-memory all-to-all left in the repo, fine at gate scale; the
-    100 TB path is functions/dedup.embedding_dup_pairs (the SCALE variant,
-    pytest-pinned and stress-run at 1M vectors in BASELINE.md), which
-    derives its blocks from IVF cells hive-partitioned on storage
-    instead."""
+    Exact blocked pair stage, storage-exchange shape (r5): labels
+    hash-partition to storage (``functions.exchange.partition_apply``)
+    and ONE task per partition runs per-label all-pairs matmuls over its
+    label blocks — each matmul bounded by the block size, no full-matrix
+    broadcast, nothing corpus-sized on the driver, and no in-memory
+    groupby (this was the last pipeline on it).  The 100 TB path stays
+    functions/dedup.embedding_dup_pairs (the SCALE variant, pytest-pinned
+    and stress-run at 1M vectors in BASELINE.md), which derives its
+    blocks from IVF cells instead of labels."""
+    import tempfile
 
-    def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    from ..functions.exchange import partition_apply
+
+    _EMPTY = pa.table(
+        {
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64()),
+        }
+    )
+
+    def label_pairs(t: pa.Table) -> pa.Table:
         from ..functions.ann import cosine_matrix_duckdb
 
-        g = g.sort_values("vec_id")
-        ids = g["vec_id"].to_numpy(np.int64)
-        if len(ids) < 2:
-            return pd.DataFrame(
-                {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64),
-                 "cosine": pd.Series(dtype=float)}
-            )
-        mat = np.stack(g["embedding"].to_numpy()).astype(np.float64)
-        sims = np.round(cosine_matrix_duckdb(mat, mat), 6)
-        ia, ib = np.nonzero(np.triu(sims >= 0.4, k=1))
-        return pd.DataFrame(
-            {"a": ids[ia], "b": ids[ib], "cosine": sims[ia, ib]}
+        if t.num_rows < 2:
+            return _EMPTY
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        arr = t["embedding"].combine_chunks()
+        flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        mat = flat.reshape(len(arr), flat.size // len(arr))
+        order = np.lexsort((ids, lab))
+        lab, ids, mat = lab[order], ids[order], mat[order]
+        starts = np.flatnonzero(np.concatenate(([True], lab[1:] != lab[:-1])))
+        ends = np.concatenate((starts[1:], [len(lab)]))
+        a_out, b_out, c_out = [], [], []
+        for s, e in zip(starts, ends):  # one matmul per label BLOCK
+            if e - s < 2:
+                continue
+            sims = np.round(cosine_matrix_duckdb(mat[s:e], mat[s:e]), 6)
+            ia, ib = np.nonzero(np.triu(sims >= 0.4, k=1))
+            a_out.append(ids[s:e][ia])
+            b_out.append(ids[s:e][ib])
+            c_out.append(sims[ia, ib])
+        if not a_out:
+            return _EMPTY
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(a_out), pa.int64()),
+                "b": pa.array(np.concatenate(b_out), pa.int64()),
+                "cosine": pa.array(np.concatenate(c_out), pa.float64()),
+            }
         )
 
-    out = (
-        _emb_ds(sf_dir)
-        .groupby("label")
-        .map_groups(group_pairs, batch_format="pandas")
-        .to_pandas()
-    )
+    with tempfile.TemporaryDirectory(prefix="embdup_gate_") as scratch:
+        out = partition_apply(
+            _emb_ds(sf_dir), "label", label_pairs, num_parts=8,
+            scratch_dir=scratch,
+        ).to_pandas()
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
