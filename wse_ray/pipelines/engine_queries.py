@@ -19,7 +19,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..config import BuildConfig
+from ..config import BuildConfig, scratch_base
 from ..index.build import build_index
 from ..query.scorer import SearchEngine
 from ..sources.corpus import corpus_from_documents_table
@@ -1082,7 +1082,7 @@ def q_dedup_embedding(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    with tempfile.TemporaryDirectory(prefix="embdup_gate_") as scratch:
+    with tempfile.TemporaryDirectory(prefix="embdup_gate_", dir=scratch_base()) as scratch:
         out = partition_apply(
             _emb_ds(sf_dir), "label", label_pairs, num_parts=8,
             scratch_dir=scratch,

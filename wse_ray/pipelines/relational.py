@@ -14,6 +14,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..config import scratch_base
+
 
 def _read(sf_dir: str, table: str, columns=None):
     import ray.data
@@ -141,7 +143,7 @@ def q_join_priority_revenue(sf_dir: str) -> pd.DataFrame:
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-    with tempfile.TemporaryDirectory(prefix="pjoin_rev_") as scratch:
+    with tempfile.TemporaryDirectory(prefix="pjoin_rev_", dir=scratch_base()) as scratch:
         joined = partitioned_join(
             li, orders, on="l_orderkey", right_on="o_orderkey",
             how="inner", num_parts=16, scratch_dir=scratch,
@@ -193,7 +195,7 @@ def q_events_asof_purchase(sf_dir: str) -> pd.DataFrame:
 
     left = ev.map_batches(clicks, batch_format="pyarrow")
     right = ev.map_batches(purchases, batch_format="pyarrow")
-    with tempfile.TemporaryDirectory(prefix="asof_ev_") as scratch:
+    with tempfile.TemporaryDirectory(prefix="asof_ev_", dir=scratch_base()) as scratch:
         out = asof_join(
             left, right, by="user_id", on="ts", num_parts=16,
             scratch_dir=scratch,
@@ -257,7 +259,7 @@ def q_click_error_pairs(sf_dir: str) -> pd.DataFrame:
 
     clicks = ev.map_batches(lambda t: typed(t, "click"), batch_format="pyarrow")
     errors = ev.map_batches(lambda t: typed(t, "error"), batch_format="pyarrow")
-    with tempfile.TemporaryDirectory(prefix="rjoin_ev_") as scratch:
+    with tempfile.TemporaryDirectory(prefix="rjoin_ev_", dir=scratch_base()) as scratch:
         out = range_join(
             clicks, errors, by="user_id", on="ts",
             lower_us=0, upper_us=300_000_000, num_parts=16,
@@ -353,7 +355,7 @@ def q_sessionize(sf_dir: str) -> pd.DataFrame:
         sessionize_rollup_kernel, key_col="user_id", ts_col="ts",
         id_col="event_id", gap_us=_GAP_US,
     )
-    with tempfile.TemporaryDirectory(prefix="sess_roll_") as scratch:
+    with tempfile.TemporaryDirectory(prefix="sess_roll_", dir=scratch_base()) as scratch:
         out = partition_apply(
             ds, "user_id", kern, num_parts=_SESSION_PARTS, scratch_dir=scratch
         ).to_pandas()
@@ -382,7 +384,7 @@ def q_session_assignments(sf_dir: str) -> pd.DataFrame:
         session_assign_kernel, key_col="user_id", ts_col="ts",
         id_col="event_id", gap_us=_GAP_US,
     )
-    with tempfile.TemporaryDirectory(prefix="sess_assign_") as scratch:
+    with tempfile.TemporaryDirectory(prefix="sess_assign_", dir=scratch_base()) as scratch:
         out = partition_apply(
             ds, "user_id", kern, num_parts=_SESSION_PARTS, scratch_dir=scratch
         ).to_pandas()
@@ -432,7 +434,7 @@ def q_distinct_users_daily(sf_dir: str) -> pd.DataFrame:
         )
 
     kern = _partial(distinct_pairs_daily_kernel, key_col="user_id")
-    with tempfile.TemporaryDirectory(prefix="distinct_daily_") as scratch:
+    with tempfile.TemporaryDirectory(prefix="distinct_daily_", dir=scratch_base()) as scratch:
         partials = partition_apply(
             ds.map_batches(pair_partial, batch_format="pyarrow"),
             "user_id",
@@ -474,7 +476,7 @@ def q_funnel(sf_dir: str) -> pd.DataFrame:
         funnel_stage_kernel, key_col="user_id", ts_col="ts",
         type_col="event_type", stages=_FUNNEL,
     )
-    with tempfile.TemporaryDirectory(prefix="funnel_") as scratch:
+    with tempfile.TemporaryDirectory(prefix="funnel_", dir=scratch_base()) as scratch:
         partials = partition_apply(
             ds.map_batches(keep, batch_format="pyarrow"),
             "user_id",
