@@ -463,10 +463,15 @@ def scaling() -> None:
     lo = int(os.environ.get("WSE_SCALE_LO", "2"))
     hi = int(os.environ.get("WSE_SCALE_HI", "8"))
     reps = int(os.environ.get("WSE_SCALE_REPS", "2"))
-    # best-of-reps per level: the sandbox host is a burstable shared-vCPU
-    # machine with large run-to-run variance; min is the standard estimator
-    runs_lo = [run(lo) for _ in range(reps)]
-    runs_hi = [run(hi) for _ in range(reps)]
+    # best-of-reps per level, INTERLEAVED lo/hi (r5): the host's burst
+    # level drifts on minute scales, so an all-lo-then-all-hi order can
+    # hand one level a systematically different machine — the same
+    # artifact the --ab mode guards against.  Interleaving exposes both
+    # levels to the same drift; min is still the estimator per level.
+    runs_lo, runs_hi = [], []
+    for _ in range(reps):
+        runs_lo.append(run(lo))
+        runs_hi.append(run(hi))
     r_lo = min(runs_lo, key=lambda r: r["build"]["sec"])
     r_hi = min(runs_hi, key=lambda r: r["build"]["sec"])
     t_lo = r_lo["build"]["sec"]

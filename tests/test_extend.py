@@ -859,3 +859,36 @@ def test_consolidate_crash_resume(ray_session, tmp_path_factory, monkeypatch):
     e_full, e_inc = SearchEngine(full), SearchEngine(inc)
     assert e_inc.stats == e_full.stats
     assert _search_all(e_inc) == _search_all(e_full)
+
+
+def test_double_consolidation_slot_aligned(ray_session, tmp_path_factory):
+    """Consolidate, extend more, consolidate again: the recorded part0
+    keeps slot arithmetic exact for the previously-merged generation, so
+    the second merge stays within the base slot width (never more merged
+    partitions than partition slots) and serving equals the full
+    rebuild."""
+    from wse_ray.index.extend import consolidate_generations
+
+    d = str(tmp_path_factory.mktemp("dc_corpus"))
+    paths = write_corpus_parquet(d, 350, n_files=7)
+    full = str(tmp_path_factory.mktemp("dc_full"))
+    inc = str(tmp_path_factory.mktemp("dc_inc"))
+    cfg = BuildConfig(num_partitions=3, heavy_df_threshold=60, heavy_subparts=2)
+    build_index(d, full, cfg)
+    build_index(paths[:3], inc, cfg)
+    for i in (3, 4):
+        extend_index(inc, [paths[i]])
+    m1 = consolidate_generations(inc)
+    assert len(m1["extensions"]) == 1
+    for i in (5, 6):
+        extend_index(inc, [paths[i]])
+    m2 = consolidate_generations(inc)
+    assert len(m2["extensions"]) == 1
+    merged = m2["extensions"][0]
+    manifest = json.load(open(os.path.join(inc, "manifest.json")))
+    width = cfg.num_partitions + manifest.get("heavy_terms", 0) * cfg.heavy_subparts
+    assert len(merged["parts"]) <= width, (merged["parts"], width)
+    assert min(merged["parts"]) >= merged["part0"]
+    e_full, e_inc = SearchEngine(full), SearchEngine(inc)
+    assert e_inc.stats == e_full.stats
+    assert _search_all(e_inc) == _search_all(e_full)

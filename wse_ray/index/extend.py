@@ -725,6 +725,10 @@ def extend_index(
         "doc_lo": n_before,
         "doc_hi": n_before + m,
         "parts": record_parts,
+        # explicit slot origin: part_id - part0 is the base assigner slot
+        # (consolidation depends on it; the _gen_part0s ceiling walk is
+        # the fallback for records written before this field existed)
+        "part0": part0,
         "timings_sec": {k: round(v, 3) for k, v in timings.items()},
     }
     manifest["extensions"] = done_exts + [record]
@@ -921,7 +925,10 @@ def _gen_part0s(manifest: dict, cfg: BuildConfig) -> list[tuple[dict, int]]:
     )
     out, ceiling = [], base_max
     for e in manifest.get("extensions", []):
-        out.append((e, ceiling + 1))
+        # prefer the recorded part0 (exact even for a previously
+        # consolidated generation, whose ids start far past the walk's
+        # ceiling+1); the walk remains the pre-field fallback
+        out.append((e, e.get("part0", ceiling + 1)))
         if e["parts"]:
             ceiling = max(ceiling, max(e["parts"]))
     return out
@@ -990,6 +997,7 @@ def consolidate_generations(index_dir: str) -> dict:
             "slot_srcs": slot_srcs,
             "merged": {
                 "gen": max(e["gen"] for e, _ in gens),
+                "part0": new_part0,
                 "kind": "term",
                 "delta_stats": {
                     "n": sum(e["delta_stats"]["n"] for e, _ in gens),
