@@ -229,6 +229,9 @@ def window_partials(
     shuffle then moves partial rows — bounded by local key cardinality —
     instead of every event."""
     g = t.group_by(keys).aggregate([(value_col, "sum"), (value_col, "count")])
+    # select by the aggregate's generated names, not position (output
+    # column order differs across pyarrow versions)
+    g = g.select(keys + [f"{value_col}_sum", f"{value_col}_count"])
     return g.rename_columns(keys + ["sum_p", "n_p"])
 
 

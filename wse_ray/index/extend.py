@@ -1017,45 +1017,73 @@ def consolidate_generations(index_dir: str) -> dict:
     postings_dir = os.path.join(index_dir, "postings")
     parts_root = os.path.join(index_dir, "parts")
     os.makedirs(work, exist_ok=True)
-    new_parts: list[int] = []
-    for slot_str in sorted(plan["slot_srcs"], key=int):
-        old_ids = plan["slot_srcs"][slot_str]
+
+    def _slot_paths(slot_str: str):
         new_id = plan["new_part0"] + int(slot_str)
-        new_parts.append(new_id)
-        marker = os.path.join(work, f"slot-{new_id:05d}.done")
+        return (
+            new_id,
+            os.path.join(postings_dir, f"part={new_id}"),
+            os.path.join(parts_root, f"part={new_id:05d}"),
+            os.path.join(work, "stage_postings", f"part={new_id}"),
+            os.path.join(work, f"slot-{new_id:05d}.done"),
+        )
+
+    slots = sorted(plan["slot_srcs"], key=int)
+    new_parts = [plan["new_part0"] + int(s) for s in slots]
+
+    # C1: per slot, merged postings staged by hardlink-concat of the
+    # generations' exchange files (same filesystem; falls back to copy),
+    # gen-prefixed filenames — cheap driver-side file ops, idempotent
+    for slot_str in slots:
+        new_id, new_postings, new_part, stage_p, marker = _slot_paths(slot_str)
+        if _flag(marker) or os.path.isdir(new_postings) or os.path.isdir(new_part):
+            continue  # already committed (fully or partially) — no staging
+        if _flag(os.path.join(stage_p, "_SUCCESS")):
+            continue
+        shutil.rmtree(stage_p, ignore_errors=True)
+        os.makedirs(stage_p)
+        for pid in plan["slot_srcs"][slot_str]:
+            src = os.path.join(postings_dir, f"part={pid}")
+            if not os.path.isdir(src):
+                continue
+            for e in sorted(os.scandir(src), key=lambda e: e.name):
+                if not e.name.endswith(".parquet"):
+                    continue
+                dst = os.path.join(stage_p, f"g{pid}_{e.name}")
+                try:
+                    os.link(e.path, dst)
+                except OSError:
+                    shutil.copyfile(e.path, dst)
+        _touch(os.path.join(stage_p, "_SUCCESS"))
+
+    # C2: ONE parallel encode pass over every staged slot at the CURRENT
+    # stats (distributed, atomic tmp+rename + _SUCCESS per part inside
+    # _encode_part_task) — no per-slot driver-side decode
+    enc_specs = []
+    for slot_str in slots:
+        new_id, new_postings, new_part, stage_p, marker = _slot_paths(slot_str)
+        if _flag(marker) or os.path.isdir(new_part):
+            continue  # encoded-and-moved already (marker may lag a crash)
+        if _flag(os.path.join(work, "parts", f"part={new_id:05d}", "_SUCCESS")):
+            continue
+        if os.path.isdir(stage_p):
+            enc_specs.append({"src": stage_p, "part": new_id})
+    if enc_specs:
+        import ray.data
+
+        ray.data.from_items(enc_specs).map_batches(
+            partial(_encode_part_task, out_dir=work, stats=stats),
+            batch_size=1,
+            batch_format="pyarrow",
+            **_enc_kwargs(cfg),
+        ).to_pandas()
+
+    # C3: per-slot commit (offline window): old dirs out, merged dirs in
+    for slot_str in slots:
+        new_id, new_postings, new_part, stage_p, marker = _slot_paths(slot_str)
         if _flag(marker):
             continue
-        new_postings = os.path.join(postings_dir, f"part={new_id}")
-        new_part = os.path.join(parts_root, f"part={new_id:05d}")
-        stage_p = os.path.join(work, "stage_postings", f"part={new_id}")
-        # C1: merged postings exchange, hardlinked from the generations'
-        # (same filesystem; falls back to copy), gen-prefixed filenames
-        if not os.path.isdir(new_postings):
-            if not _flag(os.path.join(stage_p, "_SUCCESS")):
-                shutil.rmtree(stage_p, ignore_errors=True)
-                os.makedirs(stage_p)
-                for pid in old_ids:
-                    src = os.path.join(postings_dir, f"part={pid}")
-                    if not os.path.isdir(src):
-                        continue
-                    for e in sorted(os.scandir(src), key=lambda e: e.name):
-                        if not e.name.endswith(".parquet"):
-                            continue
-                        dst = os.path.join(stage_p, f"g{pid}_{e.name}")
-                        try:
-                            os.link(e.path, dst)
-                        except OSError:
-                            shutil.copyfile(e.path, dst)
-                _touch(os.path.join(stage_p, "_SUCCESS"))
-            # C2: encode the merged slot at the CURRENT stats (atomic
-            # tmp+rename inside _encode_part_task's encode_partition)
-            if not _flag(os.path.join(work, "parts", f"part={new_id:05d}", "_SUCCESS")):
-                spec = pa.table(
-                    {"src": [stage_p], "part": [new_id]}
-                )
-                _encode_part_task(spec, out_dir=work, stats=stats)
-        # C3 (slot commit, offline window): old dirs out, merged dirs in
-        for pid in old_ids:
+        for pid in plan["slot_srcs"][slot_str]:
             shutil.rmtree(os.path.join(parts_root, f"part={pid:05d}"), ignore_errors=True)
             shutil.rmtree(os.path.join(postings_dir, f"part={pid}"), ignore_errors=True)
         if not os.path.isdir(new_part):
