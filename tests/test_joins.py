@@ -516,3 +516,38 @@ def test_asof_kernel_hypothesis_matches_bruteforce():
             assert got[i] == best, (i, left, right)
 
     check()
+
+
+def test_asof_bucketed_scratch_resume(ray_session, tmp_path):
+    """Bucketed as-of with a resume root: the five stage dirs carry
+    _SUCCESS markers and a second run reuses them, byte-for-byte."""
+    import glob as _glob
+
+    left, right = _asof_rand(300, 300, 9, seed=21)
+    scratch = str(tmp_path / "asof_resume")
+    os.makedirs(scratch)
+    r1 = asof_join(
+        _ds(left), _ds(right), by="k", on="t", num_parts=6,
+        bucket_us=13_000_000, scratch_dir=scratch,
+    ).to_pandas().sort_values("lv").reset_index(drop=True)
+    stages = sorted(
+        os.path.basename(d)
+        for d in _glob.glob(scratch + "/*")
+        if os.path.isdir(d)
+    )
+    assert stages == ["boundary", "left", "left_pairs", "right", "summaries"]
+    for s in stages:
+        assert os.path.exists(os.path.join(scratch, s, "_SUCCESS")), s
+    mt = {
+        f: os.path.getmtime(f)
+        for f in _glob.glob(scratch + "/*/jpart=*/*.parquet")
+    }
+    r2 = asof_join(
+        _ds(left), _ds(right), by="k", on="t", num_parts=6,
+        bucket_us=13_000_000, scratch_dir=scratch,
+    ).to_pandas().sort_values("lv").reset_index(drop=True)
+    pd.testing.assert_frame_equal(r1, r2)
+    assert {
+        f: os.path.getmtime(f)
+        for f in _glob.glob(scratch + "/*/jpart=*/*.parquet")
+    } == mt

@@ -260,3 +260,49 @@ def test_hop_partials_explode_equals_raw_explode_aggregate():
     )
     want["n"] = want["n"].astype(got["n"].dtype)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_partition_apply_resume_skips_exchange(ray_session, tmp_path):
+    """Same scratch_dir -> the exchange is skipped (files untouched) and
+    the result is identical; a crashed stage dir without _SUCCESS is
+    rebuilt."""
+    import glob
+    import os
+
+    import ray.data
+
+    from wse_ray.functions.exchange import partition_apply
+
+    t = _events(n=500, users=11, seed=3)
+
+    def count_kernel(part):
+        return pa.table({"n": pa.array([part.num_rows], pa.int64())})
+
+    scratch = str(tmp_path / "pa")
+    os.makedirs(scratch)
+    r1 = partition_apply(
+        ray.data.from_arrow(t), "user_id", count_kernel, num_parts=4,
+        scratch_dir=scratch,
+    ).to_pandas()
+    assert int(r1["n"].sum()) == 500
+    files = sorted(glob.glob(scratch + "/exchange/jpart=*/*.parquet"))
+    assert files and os.path.exists(scratch + "/exchange/_SUCCESS")
+    mt = [os.path.getmtime(f) for f in files]
+    r2 = partition_apply(
+        ray.data.from_arrow(t), "user_id", count_kernel, num_parts=4,
+        scratch_dir=scratch,
+    ).to_pandas()
+    assert int(r2["n"].sum()) == 500
+    assert [
+        os.path.getmtime(f)
+        for f in sorted(glob.glob(scratch + "/exchange/jpart=*/*.parquet"))
+    ] == mt
+    # crashed partial exchange (no _SUCCESS) must be wiped and rebuilt
+    os.remove(scratch + "/exchange/_SUCCESS")
+    with open(scratch + "/exchange/jpart=0/garbage.parquet", "w") as f:
+        f.write("junk")
+    r3 = partition_apply(
+        ray.data.from_arrow(t), "user_id", count_kernel, num_parts=4,
+        scratch_dir=scratch,
+    ).to_pandas()
+    assert int(r3["n"].sum()) == 500
