@@ -551,3 +551,28 @@ def test_asof_bucketed_scratch_resume(ray_session, tmp_path):
         f: os.path.getmtime(f)
         for f in _glob.glob(scratch + "/*/jpart=*/*.parquet")
     } == mt
+
+
+def test_asof_bucketed_differing_names_and_suffix(ray_session):
+    """Bucketed path with renamed right key/time columns and a colliding
+    payload column (suffix applied) — same semantics as the default
+    path."""
+    left, right = _asof_rand(200, 150, 5, seed=33)
+    left = left.assign(x=np.arange(200, dtype=np.int64))
+    r2 = right.rename(columns={"k": "rk", "t": "rt"}).assign(
+        x=np.arange(150, dtype=np.int64) * 7
+    )
+    got = (
+        asof_join(
+            _ds(left), _ds(r2), by="k", on="t", right_by="rk",
+            right_on="rt", num_parts=4, bucket_us=9_000_000,
+        )
+        .to_pandas().sort_values("lv").reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        left.sort_values("t"),
+        r2.rename(columns={"rk": "k", "rt": "t"}).sort_values("t"),
+        on="t", by="k", direction="backward", suffixes=("", "_r"),
+    ).sort_values("lv").reset_index(drop=True)
+    assert "x" in got.columns and "x_r" in got.columns
+    pd.testing.assert_frame_equal(got[list(want.columns)], want, check_dtype=False)
