@@ -892,3 +892,119 @@ def test_double_consolidation_slot_aligned(ray_session, tmp_path_factory):
     e_full, e_inc = SearchEngine(full), SearchEngine(inc)
     assert e_inc.stats == e_full.stats
     assert _search_all(e_inc) == _search_all(e_full)
+
+
+def test_consolidate_doc_layout(ray_session, tmp_path_factory):
+    """Doc layout: three small shard generations merge into right-sized
+    partitions; doc_ranges re-tile [0, N) exactly, single-node AND
+    sharded serving equal the full rebuild, old shard dirs are gone."""
+    import glob as _glob
+
+    from wse_ray.index.extend import consolidate_generations
+    from wse_ray.query.sharded import ShardedSearchEngine
+
+    d = str(tmp_path_factory.mktemp("cdoc_corpus"))
+    paths = write_corpus_parquet(d, 400, n_files=8)
+    full = str(tmp_path_factory.mktemp("cdoc_full"))
+    inc = str(tmp_path_factory.mktemp("cdoc_inc"))
+    build_index(d, full, BuildConfig(num_partitions=4, partition_by="doc"))
+    build_index(paths[:5], inc, BuildConfig(num_partitions=2, partition_by="doc"))
+    for i in (5, 6, 7):
+        extend_index(inc, [paths[i]])
+    manifest = json.load(open(os.path.join(inc, "manifest.json")))
+    assert len(manifest["extensions"]) == 3
+    old_gen_parts = {p for e in manifest["extensions"] for p in e["parts"]}
+
+    manifest = consolidate_generations(inc)
+    assert len(manifest["extensions"]) == 1
+    merged = manifest["extensions"][0]
+    assert merged["consolidated_from"] == [1, 2, 3]
+    assert merged["doc_lo"] == 250 and merged["doc_hi"] == 400
+    live_ids = {
+        int(os.path.basename(p).split("=")[1])
+        for p in _glob.glob(os.path.join(inc, "parts", "part=*"))
+    }
+    assert not (live_ids & old_gen_parts)
+    # merged shards sized like base ones (~125 docs/part) -> 2 parts
+    assert len(merged["parts"]) <= 2
+    # doc_ranges tile [0, 400) without gaps or overlaps
+    spans = sorted(tuple(v) for v in manifest["doc_ranges"].values())
+    assert spans[0][0] == 0 and spans[-1][1] == 400
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(spans, spans[1:]):
+        assert a_hi == b_lo, spans
+
+    e_full, e_inc = SearchEngine(full), SearchEngine(inc)
+    assert e_inc.stats == e_full.stats
+    assert _search_all(e_inc) == _search_all(e_full)
+    sharded = ShardedSearchEngine(inc)
+    for q in make_queries()[:10]:
+        assert sharded.search(q["query"], q["mode"], q["k"]) == e_full.search(
+            q["query"], q["mode"], q["k"]
+        ), q["query"]
+    assert not os.path.exists(os.path.join(inc, "consolidate_pending.json"))
+    assert not os.path.exists(os.path.join(inc, "consolidate_work"))
+
+
+def test_consolidate_doc_crash_before_manifest_resumes(
+    ray_session, tmp_path_factory, monkeypatch
+):
+    """Doc layout: a crash after the data commit but before the manifest
+    write resumes through the journal (via extend_index's entry hook)."""
+    import wse_ray.index.extend as ext
+
+    d = str(tmp_path_factory.mktemp("cdc_corpus"))
+    paths = write_corpus_parquet(d, 300, n_files=6)
+    full = str(tmp_path_factory.mktemp("cdc_full"))
+    inc = str(tmp_path_factory.mktemp("cdc_inc"))
+    build_index(d, full, BuildConfig(num_partitions=3, partition_by="doc"))
+    build_index(paths[:3], inc, BuildConfig(num_partitions=2, partition_by="doc"))
+    extend_index(inc, [paths[3]])
+    extend_index(inc, [paths[4]])
+
+    real_dump = ext._dump_json
+
+    def crashing_dump(obj, path):
+        if path.endswith("manifest.json") and any(
+            "consolidated_from" in e for e in obj.get("extensions", [])
+        ):
+            raise RuntimeError("simulated crash before manifest commit")
+        real_dump(obj, path)
+
+    monkeypatch.setattr(ext, "_dump_json", crashing_dump)
+    with pytest.raises(RuntimeError, match="manifest commit"):
+        ext.consolidate_generations(inc)
+    monkeypatch.setattr(ext, "_dump_json", real_dump)
+    assert os.path.exists(os.path.join(inc, "consolidate_pending.json"))
+
+    extend_index(inc, [paths[5]])  # entry hook finishes the consolidation
+    manifest = json.load(open(os.path.join(inc, "manifest.json")))
+    assert any(
+        e.get("consolidated_from") == [1, 2] for e in manifest["extensions"]
+    )
+    e_full, e_inc = SearchEngine(full), SearchEngine(inc)
+    assert e_inc.stats == e_full.stats
+    assert _search_all(e_inc) == _search_all(e_full)
+
+
+def test_extend_doc_max_generations_auto_consolidates(
+    ray_session, tmp_path_factory
+):
+    from wse_ray.query.sharded import ShardedSearchEngine
+
+    d = str(tmp_path_factory.mktemp("mgd_corpus"))
+    paths = write_corpus_parquet(d, 300, n_files=6)
+    full = str(tmp_path_factory.mktemp("mgd_full"))
+    inc = str(tmp_path_factory.mktemp("mgd_inc"))
+    build_index(d, full, BuildConfig(num_partitions=3, partition_by="doc"))
+    build_index(paths[:3], inc, BuildConfig(num_partitions=2, partition_by="doc"))
+    for i in (3, 4, 5):
+        manifest = extend_index(inc, [paths[i]], max_generations=2)
+    assert len([e for e in manifest["extensions"] if e["parts"]]) <= 2
+    e_full, e_inc = SearchEngine(full), SearchEngine(inc)
+    assert e_inc.stats == e_full.stats
+    assert _search_all(e_inc) == _search_all(e_full)
+    sharded = ShardedSearchEngine(inc)
+    for q in make_queries()[:8]:
+        assert sharded.search(q["query"], q["mode"], q["k"]) == e_full.search(
+            q["query"], q["mode"], q["k"]
+        )

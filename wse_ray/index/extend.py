@@ -347,12 +347,13 @@ def extend_index(
     ``delta_partitions`` (doc layout only) overrides the number of new
     partitions; default keeps delta partition sizes ~equal to base ones.
     ``from_html=True`` extracts the text from the delta's html column
-    (same byte-exact stage as build_index).  ``max_generations`` (term
-    layout): when the number of recorded extension generations exceeds
-    it after this ingest, ``consolidate_generations`` runs automatically
-    — the auto-compaction policy for the per-generation query cost
-    (one extra seek+decode per queried term per generation; measured in
-    BASELINE.md's latency-vs-generations table).  Returns the updated
+    (same byte-exact stage as build_index).  ``max_generations``: when
+    the number of recorded extension generations exceeds it after this
+    ingest, ``consolidate_generations`` runs automatically — the
+    auto-compaction policy for per-generation cost (term layout: one
+    extra seek+decode per queried term per generation, measured in
+    BASELINE.md's latency-vs-generations table; doc layout: shard
+    fragmentation of the scatter-gather fan-out).  Returns the updated
     manifest.
     """
     import time
@@ -550,18 +551,26 @@ def extend_index(
 
     if cfg.partition_by == "doc":
         # ---- doc layout: delta -> brand-new partitions --------------------
-        part0 = cfg.num_partitions + sum(len(e["parts"]) for e in done_exts)
+        # next free id from the MANIFEST ceiling (same contract as the
+        # term layout) — the old P + sum(len(parts)) formula assumed
+        # generations occupy contiguous ids from P, which a prior
+        # consolidation breaks (its merged ids jump past the old
+        # ceiling); colliding with them here would let the retry
+        # hygiene below rmtree LIVE merged partitions
+        part0 = _live_max_part(manifest, cfg) + 1
         explicit = delta_partitions is not None
         if delta_partitions is None:
             # keep delta partitions ~the size of base ones
             per_part = max(1, base_stats["N"] // cfg.num_partitions)
             delta_partitions = max(1, (m + per_part - 1) // per_part)
-        # the resolved value is part of the generation's layout: a resume
-        # MUST reuse it (a different value would leave phase-2-routed
-        # partitions unencoded and record wrong doc_ranges)
+        # the resolved values are part of the generation's layout: a
+        # resume MUST reuse them (a different delta_partitions would
+        # leave phase-2-routed partitions unencoded and record wrong
+        # doc_ranges; a different part0 would orphan routed partitions)
         layout_stamp = os.path.join(gen_dir, "layout.json")
         if os.path.exists(layout_stamp):
-            stamped_p = _load_json(layout_stamp)["delta_partitions"]
+            stamped = _load_json(layout_stamp)
+            stamped_p = stamped["delta_partitions"]
             if explicit and stamped_p != delta_partitions:
                 raise ValueError(
                     f"generation {gen} was started with delta_partitions="
@@ -569,8 +578,12 @@ def extend_index(
                     f"{delta_partitions})"
                 )
             delta_partitions = stamped_p
+            part0 = stamped.get("part0", part0)
         else:
-            _dump_json({"delta_partitions": delta_partitions}, layout_stamp)
+            _dump_json(
+                {"delta_partitions": delta_partitions, "part0": part0},
+                layout_stamp,
+            )
         new_parts = list(range(part0, part0 + delta_partitions))
         staging = os.path.join(gen_dir, "postings")
         if not _flag(p2_marker):
@@ -737,7 +750,6 @@ def extend_index(
     _touch(os.path.join(gen_dir, "done"))
     if (
         max_generations is not None
-        and cfg.partition_by == "term"
         and sum(1 for e in manifest["extensions"] if e["parts"]) > max_generations
     ):
         manifest = consolidate_generations(index_dir)
@@ -943,33 +955,36 @@ def finish_pending_consolidation(index_dir: str) -> None:
 
 
 def consolidate_generations(index_dir: str) -> dict:
-    """Merge ALL of a term-layout index's extension generations into ONE.
+    """Merge ALL of an index's extension generations into ONE, for both
+    layouts, at O(sum of delta postings) — base partitions are never
+    read or rewritten.
 
-    Each extension generation adds one segment per touched partition
+    Term layout: each generation adds one segment per touched partition
     slot, costing every queried term one extra (seek + decode) per
     generation (measured: tools/stress_generations.py, BASELINE.md
-    latency-vs-generations table).  This op re-merges them at
-    O(sum of delta postings) — base partitions are never read or
-    rewritten: for every partition SLOT, the generations' postings
-    exchanges concat (hardlink) into one brand-new partition id and
-    re-encode at the CURRENT stats; old generation dirs are then removed
-    and the manifest records a single merged generation.
+    latency-vs-generations table).  Merge = per SLOT, hardlink-concat
+    the generations' postings exchanges into one brand-new partition id
+    and re-encode at the CURRENT stats.
+
+    Doc layout: each generation adds its own (often small) shard
+    partitions, fragmenting the sharded engine's fan-out and doc
+    ranges.  Merge = ONE re-exchange of the generations' postings by
+    docID range into right-sized partitions (~base N/P docs each, the
+    same sizing a fresh extension would pick), encode at current stats,
+    and re-derive ``doc_ranges``.
 
     OFFLINE maintenance op (same contract as ``compact_index``): do not
-    serve from the index while it runs — mid-run, a slot's delta
-    postings are briefly in neither the old nor the new partition.
-    Crash-RESUMABLE: the plan (generation ids, new partition ids) is
-    journaled to ``consolidate_pending.json`` first and every slot
-    carries a done marker; ``extend_index`` and ``refresh_bounds``
-    finish a pending consolidation before touching the index.  Search
-    results are bit-identical before and after (pinned by
-    tests/test_extend.py).
+    serve from the index while it runs — mid-run, delta postings are
+    briefly in neither the old nor the new partitions.  Crash-RESUMABLE:
+    the plan (generation ids, new partition ids) is journaled to
+    ``consolidate_pending.json`` first and every step is marker-guarded;
+    ``extend_index`` and ``refresh_bounds`` finish a pending
+    consolidation before touching the index.  Search results are
+    bit-identical before and after (pinned by tests/test_extend.py).
     """
     manifest_path = os.path.join(index_dir, "manifest.json")
     manifest = _load_json(manifest_path)
     cfg = BuildConfig(**manifest["config"])
-    if cfg.partition_by != "term":
-        raise ValueError("consolidate_generations applies to term-layout indexes")
     pending_path = os.path.join(index_dir, _PENDING)
     work = os.path.join(index_dir, "consolidate_work")
     exts = manifest.get("extensions", [])
@@ -983,32 +998,9 @@ def consolidate_generations(index_dir: str) -> dict:
             os.remove(pending_path)
             return manifest
     else:
-        gens = [(e, p0) for e, p0 in _gen_part0s(manifest, cfg) if e["parts"]]
-        if len(gens) < 2:
+        plan = _plan_consolidation(manifest, cfg)
+        if plan is None:
             return manifest
-        new_part0 = _live_max_part(manifest, cfg) + 1
-        slot_srcs: dict[str, list[int]] = {}
-        for e, p0 in gens:
-            for pid in e["parts"]:
-                slot_srcs.setdefault(str(pid - p0), []).append(pid)
-        plan = {
-            "gens": [e["gen"] for e, _ in gens],
-            "new_part0": new_part0,
-            "slot_srcs": slot_srcs,
-            "merged": {
-                "gen": max(e["gen"] for e, _ in gens),
-                "part0": new_part0,
-                "kind": "term",
-                "delta_stats": {
-                    "n": sum(e["delta_stats"]["n"] for e, _ in gens),
-                    "sum_dl": sum(e["delta_stats"]["sum_dl"] for e, _ in gens),
-                    "max_dl": max(e["delta_stats"]["max_dl"] for e, _ in gens),
-                },
-                "doc_lo": min(e["doc_lo"] for e, _ in gens),
-                "doc_hi": max(e["doc_hi"] for e, _ in gens),
-                "consolidated_from": [e["gen"] for e, _ in gens],
-            },
-        }
         tmp = pending_path + ".tmp"
         _dump_json(plan, tmp)
         os.rename(tmp, pending_path)  # the journal IS the commit point
@@ -1017,6 +1009,195 @@ def consolidate_generations(index_dir: str) -> dict:
     postings_dir = os.path.join(index_dir, "postings")
     parts_root = os.path.join(index_dir, "parts")
     os.makedirs(work, exist_ok=True)
+
+    if plan.get("kind", "term") == "doc":
+        new_parts = _apply_doc_plan(
+            plan, cfg, stats, work, postings_dir, parts_root
+        )
+    else:
+        new_parts = _apply_term_plan(
+            plan, cfg, stats, work, postings_dir, parts_root
+        )
+
+    # final: single-file manifest commit, then cleanup
+    merged = dict(plan["merged"], parts=new_parts)
+    manifest["extensions"] = [
+        e for e in exts if e["gen"] not in set(plan["gens"])
+    ] + [merged]
+    manifest["extensions"].sort(key=lambda e: e["gen"])
+    if plan.get("kind", "term") == "doc":
+        base_stats = _load_json(os.path.join(index_dir, "stats_base.json"))
+        ranges = _formula_ranges(base_stats["N"], cfg.num_partitions)
+        for e in manifest["extensions"]:
+            if e["parts"]:
+                ranges.update(
+                    _formula_ranges(
+                        e["doc_hi"] - e["doc_lo"], len(e["parts"]),
+                        e["doc_lo"], min(int(p) for p in e["parts"]),
+                    )
+                )
+        manifest["doc_ranges"] = ranges
+    _dump_json(manifest, manifest_path)
+    shutil.rmtree(work, ignore_errors=True)
+    os.remove(pending_path)
+    return manifest
+
+
+def _merged_record(gens: list[dict], new_part0: int, kind: str) -> dict:
+    return {
+        "gen": max(e["gen"] for e in gens),
+        "part0": new_part0,
+        "kind": kind,
+        "delta_stats": {
+            "n": sum(e["delta_stats"]["n"] for e in gens),
+            "sum_dl": sum(e["delta_stats"]["sum_dl"] for e in gens),
+            "max_dl": max(e["delta_stats"]["max_dl"] for e in gens),
+        },
+        "doc_lo": min(e["doc_lo"] for e in gens),
+        "doc_hi": max(e["doc_hi"] for e in gens),
+        "consolidated_from": [e["gen"] for e in gens],
+    }
+
+
+def _plan_consolidation(manifest: dict, cfg: BuildConfig) -> dict | None:
+    """Build (and return) the immutable consolidation plan, or None when
+    fewer than two generations carry partitions."""
+    if cfg.partition_by == "term":
+        gens = [(e, p0) for e, p0 in _gen_part0s(manifest, cfg) if e["parts"]]
+        if len(gens) < 2:
+            return None
+        new_part0 = _live_max_part(manifest, cfg) + 1
+        slot_srcs: dict[str, list[int]] = {}
+        for e, p0 in gens:
+            for pid in e["parts"]:
+                slot_srcs.setdefault(str(pid - p0), []).append(pid)
+        return {
+            "kind": "term",
+            "gens": [e["gen"] for e, _ in gens],
+            "new_part0": new_part0,
+            "slot_srcs": slot_srcs,
+            "merged": _merged_record([e for e, _ in gens], new_part0, "term"),
+        }
+    gens = [e for e in manifest.get("extensions", []) if e["parts"]]
+    if len(gens) < 2:
+        return None
+    # doc-layout generations tile consecutive docID spans by construction
+    lo = min(e["doc_lo"] for e in gens)
+    hi = max(e["doc_hi"] for e in gens)
+    # the first extension's doc_lo IS the base corpus size (docIDs are a
+    # dense enumeration); size merged partitions like a fresh extension
+    base_n = min(e["doc_lo"] for e in manifest["extensions"])
+    per_part = max(1, base_n // cfg.num_partitions)
+    new_P = max(1, min(hi - lo, (hi - lo + per_part - 1) // per_part))
+    new_part0 = _live_max_part(manifest, cfg) + 1
+    return {
+        "kind": "doc",
+        "gens": [e["gen"] for e in gens],
+        "new_part0": new_part0,
+        "new_P": new_P,
+        "lo": lo,
+        "hi": hi,
+        "old_parts": sorted(int(p) for e in gens for p in e["parts"]),
+        "merged": _merged_record(gens, new_part0, "doc"),
+    }
+
+
+def _apply_doc_plan(
+    plan: dict, cfg: BuildConfig, stats: dict, work: str,
+    postings_dir: str, parts_root: str,
+) -> list[int]:
+    """Doc-layout consolidation body: one distributed re-exchange of the
+    generations' postings by docID range into ``new_P`` fresh partitions,
+    one distributed encode pass, then a marker-guarded commit."""
+    import ray.data
+
+    part0, P = plan["new_part0"], plan["new_P"]
+    lo, hi = plan["lo"], plan["hi"]
+    new_parts = list(range(part0, part0 + P))
+    staging = os.path.join(work, "postings")
+
+    all_live = all(
+        os.path.isdir(os.path.join(parts_root, f"part={p:05d}"))
+        for p in new_parts
+    )
+    if not _flag(os.path.join(staging, "_SUCCESS")) and not all_live:
+        shutil.rmtree(staging, ignore_errors=True)
+        os.makedirs(staging, exist_ok=True)
+        files = [
+            e.path
+            for pid in plan["old_parts"]
+            if os.path.isdir(os.path.join(postings_dir, f"part={pid}"))
+            for e in sorted(
+                os.scandir(os.path.join(postings_dir, f"part={pid}")),
+                key=lambda e: e.name,
+            )
+            if e.name.endswith(".parquet")
+        ]
+        if files:
+            assigner = _AssignDeltaPartByDoc(part0, P, lo, hi)
+            ray.data.read_parquet(
+                files, columns=["term", "docID", "tf", "dl"]
+            ).map_batches(assigner, batch_format="pyarrow").write_parquet(
+                staging, partition_cols=["part"], compression="zstd"
+            )
+            if cfg.compact_min_fragments:
+                cspecs = [
+                    {"src": d}
+                    for d in sorted(glob.glob(os.path.join(staging, "part=*")))
+                ]
+                ray.data.from_items(cspecs).map_batches(
+                    partial(_compact_part_task, min_fragments=cfg.compact_min_fragments),
+                    batch_size=1,
+                    batch_format="pyarrow",
+                ).to_pandas()
+        _touch(os.path.join(staging, "_SUCCESS"))
+
+    enc_specs = [
+        {"src": d, "part": int(os.path.basename(d).split("=")[1])}
+        for d in sorted(glob.glob(os.path.join(staging, "part=*")))
+        if not os.path.isdir(
+            os.path.join(
+                parts_root,
+                f"part={int(os.path.basename(d).split('=')[1]):05d}",
+            )
+        )
+        and not _flag(
+            os.path.join(
+                work, "parts",
+                f"part={int(os.path.basename(d).split('=')[1]):05d}",
+                "_SUCCESS",
+            )
+        )
+    ]
+    if enc_specs:
+        ray.data.from_items(enc_specs).map_batches(
+            partial(_encode_part_task, out_dir=work, stats=stats),
+            batch_size=1,
+            batch_format="pyarrow",
+            **_enc_kwargs(cfg),
+        ).to_pandas()
+
+    # commit (offline window): old generation dirs out, merged dirs in
+    for pid in plan["old_parts"]:
+        shutil.rmtree(os.path.join(parts_root, f"part={pid:05d}"), ignore_errors=True)
+        shutil.rmtree(os.path.join(postings_dir, f"part={pid}"), ignore_errors=True)
+    for d in sorted(glob.glob(os.path.join(work, "parts", "part=*"))):
+        dst = os.path.join(parts_root, os.path.basename(d))
+        if not os.path.isdir(dst):
+            os.rename(d, dst)
+    for d in sorted(glob.glob(os.path.join(staging, "part=*"))):
+        dst = os.path.join(postings_dir, os.path.basename(d))
+        if not os.path.isdir(dst):
+            os.rename(d, dst)
+    return new_parts
+
+
+def _apply_term_plan(
+    plan: dict, cfg: BuildConfig, stats: dict, work: str,
+    postings_dir: str, parts_root: str,
+) -> list[int]:
+    """Term-layout consolidation body: hardlink-concat per slot, one
+    distributed encode pass, per-slot marker-guarded commit."""
 
     def _slot_paths(slot_str: str):
         new_id = plan["new_part0"] + int(slot_str)
@@ -1097,13 +1278,4 @@ def consolidate_generations(index_dir: str) -> dict:
             os.rename(stage_p, new_postings)
         _touch(marker)
 
-    # C4: single-file manifest commit, then cleanup
-    merged = dict(plan["merged"], parts=new_parts)
-    manifest["extensions"] = [
-        e for e in exts if e["gen"] not in set(plan["gens"])
-    ] + [merged]
-    manifest["extensions"].sort(key=lambda e: e["gen"])
-    _dump_json(manifest, manifest_path)
-    shutil.rmtree(work, ignore_errors=True)
-    os.remove(pending_path)
-    return manifest
+    return new_parts
