@@ -306,3 +306,84 @@ def test_partition_apply_resume_skips_exchange(ray_session, tmp_path):
         scratch_dir=scratch,
     ).to_pandas()
     assert int(r3["n"].sum()) == 500
+
+
+def test_session_kernels_hypothesis_match_pandas():
+    """Property sweep: rollup and per-row assignment kernels vs pandas
+    references over randomized (key, ts, id) triples, including heavy
+    timestamp ties and single-event users."""
+    from hypothesis import given, settings, strategies as st
+
+    from wse_ray.functions.windows import (
+        session_assign_kernel,
+        sessionize_rollup_kernel,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 4), st.integers(0, 6)),
+            min_size=1, max_size=60,
+        )
+    )
+    def check(rows):
+        gap_us = 2 * 1_000_000  # 2-second gap on second-granular data
+        t = pa.table(
+            {
+                "event_id": pa.array(
+                    np.arange(len(rows), dtype=np.int64)
+                ),
+                "user_id": pa.array(
+                    np.array([k for k, _ in rows], dtype=np.int64)
+                ),
+                "ts": pa.array(
+                    (np.array([s for _, s in rows], dtype=np.int64) * 1_000_000)
+                    .astype("datetime64[us]")
+                ),
+            }
+        )
+        df = t.to_pandas()
+
+        def assign(g):
+            g = g.sort_values(["ts", "event_id"])
+            gaps = (g["ts"].diff() > pd.Timedelta(seconds=2)).cumsum()
+            return pd.DataFrame(
+                {
+                    "event_id": g["event_id"].to_numpy(np.int64),
+                    "user_id": g["user_id"].to_numpy(np.int64),
+                    "session_idx": gaps.to_numpy(np.int64),
+                }
+            )
+
+        want = (
+            df.groupby("user_id", group_keys=False)[df.columns]
+            .apply(assign)
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        got = (
+            session_assign_kernel(t, "user_id", "ts", "event_id", gap_us)
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want[got.columns])
+
+        roll = (
+            sessionize_rollup_kernel(t, "user_id", "ts", "event_id", gap_us)
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        wr = (
+            want.groupby("user_id")
+            .agg(
+                n_events=("event_id", "size"),
+                n_sessions=("session_idx", lambda s: int(s.max()) + 1),
+            )
+            .reset_index()
+            .astype({"user_id": np.int64, "n_events": np.int64, "n_sessions": np.int64})
+        )
+        pd.testing.assert_frame_equal(roll, wr[roll.columns])
+
+    check()
