@@ -1008,3 +1008,37 @@ def test_extend_doc_max_generations_auto_consolidates(
         assert sharded.search(q["query"], q["mode"], q["k"]) == e_full.search(
             q["query"], q["mode"], q["k"]
         )
+
+
+@pytest.mark.parametrize("layout", ["term", "doc"])
+def test_mixed_lifecycle_with_consolidation(ray_session, tmp_path_factory, layout):
+    """Interplay pin: extend -> delete -> extend -> extend with
+    auto-consolidation -> refresh_bounds must serve exactly like a fresh
+    build of the full corpus with the same docs tombstoned, in every
+    mode.  (Tombstones are docID-keyed and consolidation preserves
+    docIDs, so deletes must survive the merge.)"""
+    from wse_ray.index.extend import delete_docs
+
+    d = str(tmp_path_factory.mktemp(f"mix_{layout}_corpus"))
+    paths = write_corpus_parquet(d, 350, n_files=7)
+    full = str(tmp_path_factory.mktemp(f"mix_{layout}_full"))
+    inc = str(tmp_path_factory.mktemp(f"mix_{layout}_inc"))
+    kw = {} if layout == "term" else {"partition_by": "doc"}
+    build_index(d, full, BuildConfig(num_partitions=3, **kw))
+    build_index(paths[:4], inc, BuildConfig(num_partitions=3, **kw))
+    extend_index(inc, [paths[4]])
+    deleted = list(range(0, 350, 7))  # spans base + first generation
+    delete_docs(inc, deleted)
+    extend_index(inc, [paths[5]])
+    manifest = extend_index(inc, [paths[6]], max_generations=2)
+    assert any("consolidated_from" in e for e in manifest["extensions"])
+    refresh_bounds(inc)
+    delete_docs(full, deleted)
+
+    e_full, e_inc = SearchEngine(full), SearchEngine(inc)
+    assert e_inc.stats == e_full.stats
+    for q in make_queries()[:12]:
+        for mode in ("disjunctive", "conjunctive", "disjunctive_pruned"):
+            assert e_inc.search(q["query"], mode, q["k"]) == e_full.search(
+                q["query"], mode, q["k"]
+            ), (q["query"], mode)
