@@ -1042,3 +1042,55 @@ def test_mixed_lifecycle_with_consolidation(ray_session, tmp_path_factory, layou
             assert e_inc.search(q["query"], mode, q["k"]) == e_full.search(
                 q["query"], mode, q["k"]
             ), (q["query"], mode)
+
+
+def test_compact_after_consolidation(ray_session, tmp_path_factory):
+    """compact_index reads the runs checkpoint, which consolidation never
+    touches — compacting a consolidated+tombstoned index must equal a
+    fresh build over the surviving corpus."""
+    from wse_ray.index.extend import (
+        consolidate_generations,
+        delete_docs,
+        load_tombstones,
+    )
+    from wse_ray.index.extend import compact_index
+
+    d = str(tmp_path_factory.mktemp("cac_corpus"))
+    paths = write_corpus_parquet(d, 300, n_files=6)
+    inc = str(tmp_path_factory.mktemp("cac_inc"))
+    cfg = BuildConfig(num_partitions=3)
+    build_index(paths[:3], inc, cfg)
+    for i in (3, 4, 5):
+        extend_index(inc, [paths[i]])
+    consolidate_generations(inc)
+    deleted = list(range(1, 300, 9))
+    delete_docs(inc, deleted)
+
+    cidx = str(tmp_path_factory.mktemp("cac_out"))
+    compact_index(inc, cidx)
+    assert len(load_tombstones(cidx)) == 0
+
+    # fresh build over the corpus with the deleted docs removed
+    import pyarrow.parquet as pq
+
+    keep_dir = str(tmp_path_factory.mktemp("cac_keep"))
+    dropped = 0
+    kept_paths = []
+    for i, p in enumerate(sorted(paths)):
+        t = pq.read_table(p)
+        n = t.num_rows
+        mask = [
+            (dropped + j) not in set(deleted) for j in range(n)
+        ]
+        dropped += n
+        import pyarrow as _pa
+
+        kp = os.path.join(keep_dir, os.path.basename(p))
+        pq.write_table(t.filter(_pa.array(mask)), kp)
+        kept_paths.append(kp)
+    fresh = str(tmp_path_factory.mktemp("cac_fresh"))
+    build_index(kept_paths, fresh, cfg)
+
+    e_c, e_f = SearchEngine(cidx), SearchEngine(fresh)
+    assert e_c.stats == e_f.stats
+    assert _search_all(e_c) == _search_all(e_f)
