@@ -424,13 +424,17 @@ def machine_cpu_baseline(lo: int, hi: int) -> dict:
 
 
 def scaling() -> None:
-    # the scaling measurement needs a COMPUTE-dominated build: since the
-    # partition-wide vectorized encoder, a 50k-doc build is fixed-overhead
-    # dominated at high cpu counts and under-reports scaling (Amdahl) —
-    # default to 200k docs unless the caller pinned a size explicitly
+    # the scaling measurement needs a COMPUTE-dominated build: the
+    # engine carries a FIXED ~4.5 s serial term per build (phase
+    # transitions, stats folding, manifest writes — measured by the
+    # round-5 Amdahl decomposition, BASELINE.md), so small corpora
+    # under-report scaling: 200k docs reads 0.77-0.81 raw where the SAME
+    # code at 800k reads 0.974 (window 11).  Default 500k (~0.95
+    # predicted, ~8-minute window); pin WSE_SCALING_DOCS to trade
+    # precision for time.
     global BENCH_DOCS, CORPUS_DIR
     if "WSE_BENCH_DOCS" not in os.environ:
-        BENCH_DOCS = int(os.environ.get("WSE_SCALING_DOCS", "200000"))
+        BENCH_DOCS = int(os.environ.get("WSE_SCALING_DOCS", "500000"))
         CORPUS_DIR = f"{_SCRATCH_BASE}/wse_bench_corpus_{BENCH_DOCS}"
         os.environ["WSE_BENCH_DOCS"] = str(BENCH_DOCS)
     # pre-generate shared input + warm page cache in this process
